@@ -1,0 +1,421 @@
+"""GP prior/posterior machinery: factorized gram banks, KL divergences in
+trace/solve/logdet form, correlated latent sampling, posterior conditioning.
+
+Re-designs the reference's L1-L3 layers (SURVEY.md §1):
+
+* ``calc_gp_kl`` / ``gp_kl_div`` / ``trans_break_mat``
+  (src/Models/syndata/GP_VAE_syn_data.py:168-236) — a Python loop unrolling
+  B*Z fp64 {matrix_inverse, logdet, trace} subgraphs — becomes one batched
+  solve-form KL with no explicit inverse and no determinant.
+* ``gp_vae_sample`` (…:147-166) — ragged split/slice/concat — becomes one
+  batched ``mu + L @ eps`` einsum on the MXU with explicit PRNG keys (fixing
+  the reference's fresh-noise-per-fetch quirk, SURVEY.md §3.4).
+* diag-cov KL (src/Models/VAE_GPprior_diag_cov.py:73-119), standard VAE KL
+  (src/Models/GP_recog_VAE_prior.py:65-70), and the GP-recognition sampler
+  ``L + diag(sqrt(v))`` (…:159-160) are all covered, including a
+  behavioral-parity flag for the reference's not-quite-a-factor recog KL.
+* numpy GP-posterior imputation (``sample_given_part_latent``,
+  src/Models/FullGP_and_GPdecoder_dynamic_time_analysis.py:40-56) becomes a
+  batched masked conditioning op.
+
+Irregular time grids are handled with boolean masks over a static ``T``:
+masked gram rows/cols are identity-padded (kernels.py), masked means are
+zeroed, and masked diag variances are neutralized per-formula, which makes
+every masked timestep contribute *exactly* zero to every KL — the static-shape
+equivalent of the reference's ragged per-sequence slicing.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gpvae_tpu import kernels as kernels_lib
+from gpvae_tpu.ops import (
+    cholesky,
+    gram_chol_fused,
+    logdet_from_chol,
+    solve_triangular,
+    LANE_BATCH_MAX_T,
+)
+from gpvae_tpu.ops.chol import cholesky_bwd_from_l
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused gram-bank Cholesky
+# ---------------------------------------------------------------------------
+
+def _chol_gram_bank_unfused(times, lengthscales, mask, variance, kernel,
+                            noise):
+    k = kernels_lib.gram_bank(
+        times, lengthscales, kernel=kernel, noise=noise, variance=variance,
+        mask=mask,
+    )
+    return cholesky(k)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _chol_gram_bank_p(times, lengthscales, mask, variance, kernel, noise):
+    return gram_chol_fused(
+        times, lengthscales, mask=mask, kernel=kernel, noise=noise,
+        variance=variance,
+    )
+
+
+def _chol_gram_bank_fwd(times, lengthscales, mask, variance, kernel, noise):
+    l = _chol_gram_bank_p(times, lengthscales, mask, variance, kernel, noise)
+    return l, (times, lengthscales, mask, variance, l)
+
+
+def _chol_gram_bank_bwd(kernel, noise, res, l_bar):
+    times, lengthscales, mask, variance, l = res
+    k_bar = cholesky_bwd_from_l(l, l_bar)
+
+    def gram_fn(ls, var):
+        return kernels_lib.gram_bank(
+            times, ls, kernel=kernel, noise=noise, variance=var, mask=mask
+        )
+
+    _, vjp = jax.vjp(gram_fn, lengthscales, variance)
+    ls_bar, var_bar = vjp(k_bar)
+    return (jnp.zeros_like(times), ls_bar, None, var_bar)
+
+
+_chol_gram_bank_p.defvjp(_chol_gram_bank_fwd, _chol_gram_bank_bwd)
+
+
+def chol_gram_bank(
+    times: jnp.ndarray,
+    lengthscales: jnp.ndarray,
+    *,
+    mask: jnp.ndarray | None = None,
+    kernel: str = "rbf",
+    noise: float = kernels_lib.DEFAULT_NOISE,
+    variance: jnp.ndarray | float = 1.0,
+) -> jnp.ndarray:
+    """Cholesky factors ``L [B, Z, T, T]`` of the per-latent gram bank.
+
+    The production entry point for the covariance subsystem: on TPU with
+    T <= 64 the gram is built and factored inside one Pallas kernel (the
+    ``[B,Z,T,T]`` gram never reaches HBM); otherwise it composes the batched
+    gram with the blocked/XLA Cholesky.  Differentiable w.r.t.
+    ``lengthscales`` and ``variance`` via the analytic Cholesky backward.
+    """
+    variance = jnp.asarray(variance, jnp.float32)
+    t = times.shape[-1]
+    if (
+        jax.default_backend() == "tpu"
+        and t <= LANE_BATCH_MAX_T
+        and kernel in kernels_lib.KERNELS
+    ):
+        return _chol_gram_bank_p(times, lengthscales, mask, variance, kernel,
+                                 noise)
+    return _chol_gram_bank_unfused(times, lengthscales, mask, variance,
+                                   kernel, noise)
+
+
+# ---------------------------------------------------------------------------
+# KL divergences
+# ---------------------------------------------------------------------------
+
+def gp_kl(
+    mu: jnp.ndarray,
+    l_q: jnp.ndarray,
+    l_p: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """KL( N(mu, K_q) || N(0, K_p) ) per (sequence, latent) -> ``[B, Z]``.
+
+    Solve-form rewrite of the reference ``gp_kl_div``
+    (src/Models/syndata/GP_VAE_syn_data.py:216-236):
+
+        KL = 1/2 [ ||L_p^{-1} L_q||_F^2 + ||L_p^{-1} mu||^2 - T
+                   + logdet K_p - logdet K_q ]
+
+    which eliminates ``tf.matrix_inverse`` entirely.  With identity-padded
+    factors and masked (zeroed) means, each masked timestep contributes
+    ``1 - 1 = 0``, so subtracting the *static* T is exact — no ragged
+    bookkeeping.
+
+    * ``mu``  ``[B, T, Z]`` posterior means (masked rows zero),
+    * ``l_q``/``l_p`` ``[B, Z, T, T]`` Cholesky factors.
+    """
+    if mask is not None:
+        mu = mu * mask.astype(mu.dtype)[..., None]
+    t = mu.shape[-2]
+    a = solve_triangular(l_p, l_q)                    # L_p^{-1} L_q
+    tr = jnp.sum(a * a, axis=(-2, -1))                # [B, Z]
+    mu_bz = jnp.swapaxes(mu, -1, -2)[..., None]       # [B, Z, T, 1]
+    v = solve_triangular(l_p, mu_bz)
+    quad = jnp.sum(v * v, axis=(-2, -1))
+    ld_p = logdet_from_chol(l_p)
+    ld_q = logdet_from_chol(l_q)
+    return 0.5 * (tr + quad - t + ld_p - ld_q)
+
+
+def gp_prior_diag_kl(
+    mu: jnp.ndarray,
+    log_var: jnp.ndarray,
+    l_p: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """KL( N(mu, diag v) || N(0, K_p) ) -> ``[B, Z]``.
+
+    The diag-posterior/GP-prior KL of src/Models/VAE_GPprior_diag_cov.py:73-119
+    (which uses raw ``tf.matrix_inverse``/``matrix_determinant``), rewritten:
+
+        KL = 1/2 [ sum_i v_i * d_i + ||L_p^{-1} mu||^2 - T
+                   + logdet K_p - sum_i log v_i ]
+
+    with ``d_i = (K_p^{-1})_ii = sum_j W_ji^2`` from one trsm ``W = L_p^{-1}``.
+    Masked steps use v=1, mu=0 and contribute 0.
+    """
+    if mask is not None:
+        m = mask.astype(mu.dtype)[..., None]
+        mu = mu * m
+        log_var = log_var * m  # masked -> log v = 0 -> v = 1
+    t, z = mu.shape[-2], mu.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(t, dtype=l_p.dtype), l_p.shape)
+    w = solve_triangular(l_p, eye)                    # [B, Z, T, T]
+    dinv = jnp.sum(w * w, axis=-2)                    # diag(K^{-1}) [B, Z, T]
+    v_bz = jnp.swapaxes(jnp.exp(log_var), -1, -2)     # [B, Z, T]
+    tr = jnp.sum(dinv * v_bz, axis=-1)
+    mu_bz = jnp.swapaxes(mu, -1, -2)[..., None]
+    y = solve_triangular(l_p, mu_bz)
+    quad = jnp.sum(y * y, axis=(-2, -1))
+    ld_p = logdet_from_chol(l_p)
+    sum_log_v = jnp.sum(jnp.swapaxes(log_var, -1, -2), axis=-1)
+    return 0.5 * (tr + quad - t + ld_p - sum_log_v)
+
+
+def standard_kl(
+    mu: jnp.ndarray,
+    log_var: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """KL( N(mu, diag v) || N(0, I) ) summed over latent dim -> ``[B, T]``
+    then masked-summed to ``[B]``.
+
+    The standard VAE KL (src/Models/GP_recog_VAE_prior.py:65-70; inline at
+    src/Models/Vanilla_VAE.py:71).
+    """
+    kl_tz = -0.5 * (1.0 + log_var - mu * mu - jnp.exp(log_var))  # [B, T, Z]
+    kl_t = jnp.sum(kl_tz, axis=-1)
+    if mask is not None:
+        kl_t = kl_t * mask.astype(kl_t.dtype)
+    return jnp.sum(kl_t, axis=-1)
+
+
+def recog_gp_kl(
+    mu: jnp.ndarray,
+    log_var: jnp.ndarray,
+    l_q: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Exact KL for the GP-recognition model's *actual* sampling
+    distribution: z = mu + (L + diag(sqrt(v))) eps, prior N(0, I).
+
+    The reference pairs that correlated sampler (GP_recog_VAE_prior.py:159-160)
+    with the *diagonal* standard KL — the covariance the KL scores is not the
+    covariance it samples from.  Here, with C = L_q + diag(sqrt(v)) (masked
+    rows identity):
+
+        KL = 1/2 [ ||C||_F^2 + ||mu||^2 - T - 2 sum_i log C_ii ]
+
+    Use :func:`standard_kl` on (mu, log_var) instead for behavioral parity
+    with the reference (models.py exposes the flag).
+    Returns ``[B, Z]``.
+    """
+    t = mu.shape[-2]
+    sqrt_v = jnp.exp(0.5 * log_var)                   # [B, T, Z]
+    if mask is not None:
+        m = mask.astype(mu.dtype)[..., None]
+        mu = mu * m
+        sqrt_v = sqrt_v * m                           # masked -> diag from L (=1)
+    c = l_q + _batch_diag(jnp.swapaxes(sqrt_v, -1, -2))
+    fro = jnp.sum(c * c, axis=(-2, -1))
+    mu_bz = jnp.swapaxes(mu, -1, -2)
+    quad = jnp.sum(mu_bz * mu_bz, axis=-1)
+    diag_c = jnp.diagonal(c, axis1=-2, axis2=-1)
+    ld = 2.0 * jnp.sum(jnp.log(diag_c), axis=-1)
+    return 0.5 * (fro + quad - t - ld)
+
+
+def _batch_diag(v: jnp.ndarray) -> jnp.ndarray:
+    """[..., T] -> [..., T, T] diagonal embed."""
+    return v[..., :, None] * jnp.eye(v.shape[-1], dtype=v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Reparameterized sampling
+# ---------------------------------------------------------------------------
+
+def gp_sample(
+    key: jax.Array,
+    mu: jnp.ndarray,
+    l_q: jnp.ndarray,
+    num_samples: int = 1,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Correlated reparameterized samples ``z = mu + (L eps)`` -> [S, B, T, Z].
+
+    One batched MXU einsum replacing the reference's per-sequence
+    transpose/split/slice/concat pipeline (``gp_vae_sample``,
+    src/Models/syndata/GP_VAE_syn_data.py:147-166).  Noise comes from an
+    explicit key — the reference's in-graph ``tf.random_normal`` re-draws on
+    every fetch (SURVEY.md §3.4), which explicit keys make impossible.
+    """
+    b, z, t, _ = l_q.shape
+    eps = jax.random.normal(key, (num_samples, b, z, t), dtype=mu.dtype)
+    corr = jnp.einsum(
+        "bzij,sbzj->sbiz", l_q, eps, preferred_element_type=jnp.float32
+    )
+    out = mu[None] + corr
+    if mask is not None:
+        out = out * mask.astype(out.dtype)[None, :, :, None]
+    return out
+
+
+def diag_sample(
+    key: jax.Array,
+    mu: jnp.ndarray,
+    log_var: jnp.ndarray,
+    num_samples: int = 1,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """``z = mu + sqrt(v) eps`` -> [S, B, T, Z]
+    (reference ``vae_sample``, src/Models/VAE_GPprior_diag_cov.py:64-71)."""
+    eps = jax.random.normal(
+        key, (num_samples,) + mu.shape, dtype=mu.dtype
+    )
+    out = mu[None] + jnp.exp(0.5 * log_var)[None] * eps
+    if mask is not None:
+        out = out * mask.astype(out.dtype)[None, :, :, None]
+    return out
+
+
+def recog_sample(
+    key: jax.Array,
+    mu: jnp.ndarray,
+    log_var: jnp.ndarray,
+    l_q: jnp.ndarray,
+    num_samples: int = 1,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """GP-recognition sampler ``z = mu + (L + diag(sqrt(v))) eps``
+    (src/Models/GP_recog_VAE_prior.py:155-166) -> [S, B, T, Z]."""
+    b, z, t, _ = l_q.shape
+    sqrt_v = jnp.exp(0.5 * jnp.swapaxes(log_var, -1, -2))  # [B, Z, T]
+    c = l_q + _batch_diag(sqrt_v)
+    eps = jax.random.normal(key, (num_samples, b, z, t), dtype=mu.dtype)
+    corr = jnp.einsum(
+        "bzij,sbzj->sbiz", c, eps, preferred_element_type=jnp.float32
+    )
+    out = mu[None] + corr
+    if mask is not None:
+        out = out * mask.astype(out.dtype)[None, :, :, None]
+    return out
+
+
+def prior_sample(
+    key: jax.Array,
+    l_p: jnp.ndarray,
+    num_samples: int = 1,
+) -> jnp.ndarray:
+    """Draw latent trajectories from the GP prior: ``z = L_p eps``
+    (reference ``prior_gp_sample``,
+    src/Models/FullGP_and_GPdecoder_dynamic_time_analysis.py:24-30).
+    Returns ``[S, B, T, Z]``."""
+    b, z, t, _ = l_p.shape
+    eps = jax.random.normal(key, (num_samples, b, z, t), dtype=l_p.dtype)
+    return jnp.einsum(
+        "bzij,sbzj->sbiz", l_p, eps, preferred_element_type=jnp.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# GP posterior conditioning (imputation)
+# ---------------------------------------------------------------------------
+
+class GPPosterior(NamedTuple):
+    mean: jnp.ndarray  # [B, Tq, Z]
+    cov: jnp.ndarray   # [B, Z, Tq, Tq]
+
+
+def posterior_conditional(
+    times_obs: jnp.ndarray,
+    z_obs: jnp.ndarray,
+    times_query: jnp.ndarray,
+    lengthscales: jnp.ndarray,
+    *,
+    mask_obs: jnp.ndarray | None = None,
+    kernel: str = "rbf",
+    noise: float = kernels_lib.DEFAULT_NOISE,
+    variance: jnp.ndarray | float = 1.0,
+    jitter: float = 1e-6,
+) -> GPPosterior:
+    """Batched GP conditioning p(z(t_query) | z(t_obs)) per latent dim.
+
+    The TPU-native form of the numpy imputation oracle
+    ``sample_given_part_latent``
+    (src/Models/FullGP_and_GPdecoder_dynamic_time_analysis.py:40-56):
+
+        L   = chol(K_oo + jitter I)
+        A   = L^{-1} K_oq
+        m*  = A^T L^{-1} z_obs
+        S*  = K_qq - A^T A
+
+    Masked observations are identity-padded in ``K_oo`` and zero rows of
+    ``K_oq`` / ``z_obs``, contributing nothing.
+
+    * ``times_obs`` ``[B, To]``, ``z_obs`` ``[B, To, Z]``,
+      ``times_query`` ``[B, Tq]``.
+    """
+    k_oo = kernels_lib.gram_bank(
+        times_obs, lengthscales, kernel=kernel, noise=noise,
+        variance=variance, mask=mask_obs,
+    )
+    t_o = times_obs.shape[-1]
+    k_oo = k_oo + jitter * jnp.eye(t_o, dtype=k_oo.dtype)
+    k_oq = kernels_lib.cross_gram(
+        times_obs, times_query, lengthscales, kernel=kernel, noise=noise,
+        variance=variance, mask_a=mask_obs,
+    )
+    k_qq = kernels_lib.gram_bank(
+        times_query, lengthscales, kernel=kernel, noise=noise,
+        variance=variance,
+    )
+    l = cholesky(k_oo)
+    a = solve_triangular(l, k_oq)                      # [B, Z, To, Tq]
+    z_bz = jnp.swapaxes(z_obs, -1, -2)[..., None]      # [B, Z, To, 1]
+    if mask_obs is not None:
+        z_bz = z_bz * mask_obs.astype(z_bz.dtype)[:, None, :, None]
+    alpha = solve_triangular(l, z_bz)                  # L^{-1} z
+    mean = jnp.einsum(
+        "bzoq,bzor->bzqr", a, alpha, preferred_element_type=jnp.float32
+    )[..., 0]                                          # [B, Z, Tq]
+    cov = k_qq - jnp.einsum(
+        "bzoq,bzor->bzqr", a, a, preferred_element_type=jnp.float32
+    )
+    return GPPosterior(mean=jnp.swapaxes(mean, -1, -2), cov=cov)
+
+
+def posterior_sample(
+    key: jax.Array,
+    post: GPPosterior,
+    num_samples: int = 1,
+    jitter: float = 1e-6,
+) -> jnp.ndarray:
+    """Sample trajectories from a conditioned posterior -> [S, B, Tq, Z]
+    (reference ``post_gp_sample`` with ``mean_or_sample='sample'``,
+    src/Models/FullGP_and_GPdecoder_dynamic_time_analysis.py:96-111)."""
+    b, z, tq, _ = post.cov.shape
+    cov = post.cov + jitter * jnp.eye(tq, dtype=post.cov.dtype)
+    l = cholesky(cov)
+    eps = jax.random.normal(key, (num_samples, b, z, tq), post.mean.dtype)
+    corr = jnp.einsum(
+        "bzij,sbzj->sbiz", l, eps, preferred_element_type=jnp.float32
+    )
+    return post.mean[None] + corr

@@ -1,0 +1,177 @@
+"""Batched Cholesky factorization: dispatch, blocked MXU path, custom VJP.
+
+Replaces the reference's ``tf.cholesky`` call sites
+(src/Models/syndata/GP_VAE_syn_data.py:138;
+src/Models/Full_GP_VAE_fixed_for_MovMnist.py:133) and the numpy
+``np.linalg.cholesky`` oracles
+(src/Models/FullGP_and_GPdecoder_dynamic_time_analysis.py:44-55;
+src/determinant_testing_minimal.py:33).
+
+Three execution paths behind one differentiable entry point:
+
+* ``pallas``  — lane-batched kernel (pallas_chol.py) for T <= 64: the
+  reference regime (T = 20 MNIST / 45 toy).
+* ``blocked`` — right-looking blocked factorization for large T
+  (BASELINE.json config 3, T = 1024): diagonal blocks go through the
+  lane-batched kernel *batched across all matrices simultaneously*, panels
+  are triangular solves, and the trailing symmetric rank-k update is a pure
+  batched MXU matmul — the classic MAGMA-style split, expressed in JAX so
+  XLA schedules it.
+* ``xla``     — ``jnp.linalg.cholesky`` fallback (and the fp64 oracle on CPU).
+
+All paths share one analytic custom VJP (the standard differentiable-Cholesky
+backward, two triangular solves), so the ELBO differentiates through the
+factorization regardless of forward path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gpvae_tpu.ops import pallas_chol
+from gpvae_tpu.ops.trsm import solve_triangular
+
+
+def cholesky_xla(k: jnp.ndarray) -> jnp.ndarray:
+    """XLA-native batched Cholesky (lower)."""
+    return jnp.linalg.cholesky(k)
+
+
+# ---------------------------------------------------------------------------
+# Blocked path for large T
+# ---------------------------------------------------------------------------
+
+def _chol_diag_block(d: jnp.ndarray) -> jnp.ndarray:
+    """Factor a batch of small diagonal blocks [N, nb, nb]."""
+    if jax.default_backend() == "tpu" or d.shape[-1] <= pallas_chol.LANE_BATCH_MAX_T:
+        return pallas_chol.chol_small_batched(d)
+    return cholesky_xla(d)
+
+
+def cholesky_blocked(k: jnp.ndarray, block_size: int = 128) -> jnp.ndarray:
+    """Blocked right-looking batched Cholesky for ``k [N, T, T]``, large T.
+
+    Each block step: (1) factor all matrices' diagonal blocks with the
+    lane-batched kernel (batch = N, fully vectorized), (2) panel solve
+    ``X = P L_d^{-T}`` (batched trsm), (3) trailing update
+    ``S -= X X^T`` (batched MXU matmul).  The Python loop is unrolled at
+    trace time; every shape is static.
+    """
+    n, t, _ = k.shape
+    nb = min(block_size, pallas_chol.LANE_BATCH_MAX_T)
+    if t <= nb:
+        return _chol_diag_block(k.astype(jnp.float32))
+    num_blocks = -(-t // nb)
+    t_pad = num_blocks * nb
+    if t_pad != t:
+        pad = t_pad - t
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, pad)))
+        diag_pad = (jnp.arange(t_pad) >= t).astype(k.dtype)
+        k = k + jnp.eye(t_pad, dtype=k.dtype) * diag_pad[None, None, :]
+
+    s = k.astype(jnp.float32)  # current trailing submatrix [N, R, R]
+    col_blocks = []
+    for b in range(num_blocks):
+        d = s[:, :nb, :nb]
+        ld = _chol_diag_block(d)                              # [N, nb, nb]
+        rest = s[:, nb:, :nb]                                 # [N, R-nb, nb]
+        # X L_d^T = rest  =>  X = rest L_d^{-T}
+        x = solve_triangular(
+            ld, rest, left_side=False, lower=True, transpose_a=True
+        )
+        col = jnp.concatenate([ld, x], axis=1)                # [N, R, nb]
+        col_blocks.append(col)
+        if b < num_blocks - 1:
+            trail = s[:, nb:, nb:]
+            # HIGHEST precision: the default TPU f32 matmul uses bf16 passes,
+            # which costs ~3 decimal digits in the trailing update and
+            # violates the fp64-parity tolerance (north star, BASELINE.md).
+            s = trail - jnp.einsum(
+                "nik,njk->nij", x, x,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+    # Assemble lower-triangular L from column blocks.
+    cols = []
+    for b, col in enumerate(col_blocks):
+        top = jnp.zeros((n, b * nb, nb), jnp.float32)
+        cols.append(jnp.concatenate([top, col], axis=1))
+    l = jnp.concatenate(cols, axis=2)
+    return l[:, :t, :t]
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + custom VJP
+# ---------------------------------------------------------------------------
+
+def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
+    t = k.shape[-1]
+    batch_shape = k.shape[:-2]
+    if method == "auto":
+        if jax.default_backend() == "tpu":
+            method = "pallas" if t <= pallas_chol.LANE_BATCH_MAX_T else "blocked"
+        else:
+            method = "xla"
+    if method == "xla":
+        return cholesky_xla(k)
+    kb = k.reshape((-1,) + k.shape[-2:])
+    if method == "pallas":
+        lb = pallas_chol.chol_small_batched(kb)
+    elif method == "blocked":
+        lb = cholesky_blocked(kb)
+    else:
+        raise ValueError(f"unknown cholesky method {method!r}")
+    return lb.reshape(batch_shape + (t, t))
+
+
+def _phi(m: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangular with halved diagonal (Murray 2016 backward)."""
+    return jnp.tril(m) - 0.5 * jnp.tril(jnp.triu(m))
+
+
+def cholesky_bwd_from_l(l: jnp.ndarray, l_bar: jnp.ndarray) -> jnp.ndarray:
+    """Standard Cholesky reverse-mode: K_bar from (L, L_bar).
+
+    K_bar = (1/2) L^{-T} (phi(L^T L_bar) + phi(L^T L_bar)^T) L^{-1},
+    returned symmetrized (valid for K produced by a symmetric constructor,
+    as all grams here are).
+    """
+    p = _phi(jnp.einsum("...ji,...jk->...ik", l, l_bar))
+    w = 0.5 * (p + jnp.swapaxes(p, -1, -2))
+    # tmp = L^{-T} w  : solve L^T tmp = w
+    tmp = solve_triangular(l, w, left_side=True, lower=True, transpose_a=True)
+    # kbar = tmp L^{-1} : solve kbar L = tmp
+    kbar = solve_triangular(l, tmp, left_side=False, lower=True,
+                            transpose_a=False)
+    # kbar = L^{-T} sym(phi(L^T Lbar)) L^{-1} is already symmetric — the
+    # symmetric-gradient convention jnp.linalg.cholesky uses.
+    return kbar
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _cholesky_p(k: jnp.ndarray, method: str) -> jnp.ndarray:
+    return _cholesky_fwd_impl(k, method)
+
+
+def _cholesky_p_fwd(k, method):
+    l = _cholesky_fwd_impl(k, method)
+    return l, l
+
+
+def _cholesky_p_bwd(method, l, l_bar):
+    return (cholesky_bwd_from_l(l, l_bar),)
+
+
+_cholesky_p.defvjp(_cholesky_p_fwd, _cholesky_p_bwd)
+
+
+def cholesky(k: jnp.ndarray, *, method: str = "auto") -> jnp.ndarray:
+    """Differentiable batched Cholesky (lower) of PSD ``k [..., T, T]``.
+
+    ``method`` in {"auto", "pallas", "blocked", "xla"}; "auto" picks the
+    Pallas lane-batched kernel for T <= 64 on TPU, the blocked MXU path for
+    larger T, and XLA elsewhere.
+    """
+    return _cholesky_p(k, method)

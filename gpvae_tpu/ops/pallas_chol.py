@@ -1,0 +1,237 @@
+"""Pallas TPU kernels for batched small-matrix Cholesky.
+
+TPU-native replacement for the reference's per-(sequence, latent)
+``tf.cholesky`` calls (src/Models/syndata/GP_VAE_syn_data.py:138, one call per
+gram inside a double Python loop).  The reference factors B*Z tiny T x T
+matrices one at a time on CPU; here the *batch lives in the 128-wide lane
+axis* so every step of the column recurrence is a full-width VPU op:
+
+* layout ``[T, T, LANES]`` — lanes index matrices, sublanes index gram rows;
+* the column loop is unrolled at trace time (T is static), so every slice is
+  static and every iteration is one masked rank-1 update over ``[T, T, L]``;
+* no scalar extraction, no gather, no dynamic shapes.
+
+``gram_chol_fused`` goes further: it builds the gram *inside* the kernel from
+the per-sequence time vectors (reference ``tf_kernel``,
+GP_VAE_syn_data.py:124-145) and factors it without the ``[N, T, T]`` gram
+ever touching HBM — the op is HBM-bandwidth-minimal: in ``times/mask/ls``
+(O(N*T)), out ``L`` (O(N*T^2)).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpvae_tpu import kernels as kernels_lib
+
+LANES = 128
+# [T, T, LANES] fp32 working set must fit VMEM (~16 MB): 3 copies at T=64 is
+# ~6 MB.  Larger T goes through the blocked MXU path (chol.cholesky_blocked).
+LANE_BATCH_MAX_T = 64
+_DIAG_EPS = 1e-20
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _chol_lane_body(a, l_ref, t_pad):
+    """Shared column recurrence: factor ``a`` [T, T, L] into ``l_ref``."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
+    for j in range(t_pad):
+        d = jax.lax.rsqrt(jnp.maximum(a[j, j, :], _DIAG_EPS))  # [L]
+        col = a[:, j, :] * d[None, :]                          # [T, L]
+        col = jnp.where(rows >= j, col, 0.0)
+        l_ref[:, j, :] = col
+        a = a - col[:, None, :] * col[None, :, :]
+    return a
+
+
+def _chol_kernel(a_ref, l_ref):
+    t_pad = a_ref.shape[0]
+    _chol_lane_body(a_ref[...], l_ref, t_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("lower_only",))
+def chol_small_batched(k: jnp.ndarray, lower_only: bool = True) -> jnp.ndarray:
+    """Batched Cholesky ``L`` of PSD ``k`` with shape ``[N, T, T]``, T <= 64.
+
+    Pads T to a multiple of 8 (identity padding) and N to a multiple of 128,
+    runs the lane-batched kernel, and strips padding.  fp32 in, fp32 out.
+    """
+    n, t, t2 = k.shape
+    assert t == t2, k.shape
+    if t > LANE_BATCH_MAX_T:
+        raise ValueError(
+            f"T={t} > {LANE_BATCH_MAX_T}; use cholesky_blocked for large T"
+        )
+    t_pad = max(_round_up(t, 8), 8)
+    n_pad = _round_up(max(n, 1), LANES)
+    kp = k.astype(jnp.float32)
+    if t_pad != t:
+        eye = jnp.eye(t_pad, dtype=jnp.float32)
+        kp = jnp.pad(kp, ((0, 0), (0, t_pad - t), (0, t_pad - t)))
+        pad_mask = (jnp.arange(t_pad) >= t).astype(jnp.float32)
+        kp = kp + eye * pad_mask[None, None, :]
+    if n_pad != n:
+        pad_block = jnp.broadcast_to(
+            jnp.eye(t_pad, dtype=jnp.float32), (n_pad - n, t_pad, t_pad)
+        )
+        kp = jnp.concatenate([kp, pad_block], axis=0)
+
+    kt = jnp.transpose(kp, (1, 2, 0))  # [T, T, N]
+    grid = (n_pad // LANES,)
+    out = pl.pallas_call(
+        _chol_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t_pad, t_pad, LANES), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t_pad, t_pad, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, t_pad, n_pad), jnp.float32),
+        interpret=_interpret(),
+    )(kt)
+    l = jnp.transpose(out, (2, 0, 1))[:n, :t, :t]
+    if lower_only:
+        l = jnp.tril(l)
+    return l
+
+
+# ---------------------------------------------------------------------------
+# Fused gram construction + Cholesky
+# ---------------------------------------------------------------------------
+
+def _make_gram_chol_kernel(kernel_name: str, noise: float, t_pad: int):
+    kfn = kernels_lib.get_kernel(kernel_name)
+
+    def kernel(times_ref, ls_ref, mask_ref, var_ref, l_ref):
+        tt = times_ref[...]          # [T, L]
+        ls = ls_ref[...]             # [1, L] (sublane-padded scalar row)
+        m = mask_ref[...]            # [T, L]
+        var = var_ref[...]           # [1, L]
+        dt = tt[:, None, :] - tt[None, :, :]          # [T, T, L]
+        a = var[None, :, :] * kfn(dt, ls[None, :, :])  # [T, T, L]
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad, 1), 1)
+        ).astype(jnp.float32)
+        a = (1.0 - noise) * a + noise * eye
+        mm = m[:, None, :] * m[None, :, :]
+        a = a * mm + (1.0 - m[:, None, :]) * eye
+        _chol_lane_body(a, l_ref, t_pad)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel", "noise", "t")
+)
+def _gram_chol_fused_impl(times, ls, mask, var, *, kernel, noise, t):
+    """times/ls/mask/var all ``[N]``-leading flat layout; see wrapper."""
+    n = times.shape[1]
+    t_pad = times.shape[0]
+    grid = (n // LANES,)
+    body = _make_gram_chol_kernel(kernel, noise, t_pad)
+    out = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t_pad, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_pad, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t_pad, t_pad, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, t_pad, n), jnp.float32),
+        interpret=_interpret(),
+    )(times, ls, mask, var)
+    return out  # [T_pad, T_pad, N]
+
+
+def gram_chol_fused(
+    times: jnp.ndarray,
+    lengthscales: jnp.ndarray,
+    *,
+    mask: jnp.ndarray | None = None,
+    kernel: str = "rbf",
+    noise: float = kernels_lib.DEFAULT_NOISE,
+    variance: jnp.ndarray | float = 1.0,
+) -> jnp.ndarray:
+    """Fused gram-bank construction + batched Cholesky.
+
+    Equivalent to ``cholesky(gram_bank(times, lengthscales, ...))`` but the
+    ``[B, Z, T, T]`` gram never exists in HBM.  Returns ``L [B, Z, T, T]``.
+
+    * ``times`` ``[B, T]`` fp32, ``mask`` ``[B, T]`` bool or None,
+    * ``lengthscales`` ``[Z]`` or ``[B, Z]``,
+    * ``variance`` scalar or ``[Z]``.
+
+    Only the forward pass; the differentiable entry point with a custom VJP is
+    ``gpvae_tpu.gp.chol_gram_bank``.
+    """
+    b, t = times.shape
+    if t > LANE_BATCH_MAX_T:
+        raise ValueError(f"fused path supports T <= {LANE_BATCH_MAX_T}")
+    z = lengthscales.shape[-1]
+    n = b * z
+    n_pad = _round_up(n, LANES)
+    t_pad = max(_round_up(t, 8), 8)
+
+    f32 = jnp.float32
+    # Broadcast to flat [N] matrix index = (b, z)
+    tt = jnp.broadcast_to(times[:, None, :], (b, z, t)).reshape(n, t)
+    if lengthscales.ndim == 1:
+        ls = jnp.broadcast_to(lengthscales[None, :], (b, z)).reshape(n)
+    else:
+        ls = lengthscales.reshape(n)
+    if mask is None:
+        mk = jnp.ones((n, t), f32)
+    else:
+        mk = jnp.broadcast_to(
+            mask.astype(f32)[:, None, :], (b, z, t)
+        ).reshape(n, t)
+    var = jnp.asarray(variance, f32)
+    if var.ndim == 0:
+        var = jnp.full((n,), var, f32)
+    else:
+        var = jnp.broadcast_to(var[None, :], (b, z)).reshape(n)
+
+    def pad_n(x, fill=0.0):
+        if n_pad == n:
+            return x
+        pad_width = [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad_width, constant_values=fill)
+
+    tt = pad_n(tt.astype(f32))
+    ls = pad_n(ls.astype(f32), fill=1.0)
+    mk = pad_n(mk)  # padded matrices fully masked -> identity gram
+    var = pad_n(var, fill=1.0)
+
+    def pad_t(x):
+        if t_pad == t:
+            return x
+        return jnp.pad(x, ((0, 0), (0, t_pad - t)))
+
+    tt, mk = pad_t(tt), pad_t(mk)
+
+    out = _gram_chol_fused_impl(
+        tt.T, ls[None, :], mk.T, var[None, :],
+        kernel=kernel, noise=noise, t=t_pad,
+    )
+    l = jnp.transpose(out, (2, 0, 1))[:n, :t, :t]
+    return jnp.tril(l).reshape(b, z, t, t)

@@ -1,0 +1,130 @@
+"""Linalg ops (Cholesky / trsm / logdet) vs fp64 oracles, incl. gradients."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpvae_tpu import kernels
+from gpvae_tpu.ops import (
+    cholesky,
+    cholesky_blocked,
+    chol_small_batched,
+    gram_chol_fused,
+    logdet_from_chol,
+    slogdet_psd,
+    solve_triangular,
+)
+
+
+def random_psd(rng, n, t, cond_scale=1.0):
+    a = rng.standard_normal((n, t, t)) * cond_scale
+    k = a @ np.swapaxes(a, -1, -2) + t * np.eye(t)
+    return k.astype(np.float64)
+
+
+@pytest.mark.parametrize("t", [4, 20, 45, 64])
+def test_chol_small_batched_vs_oracle(t):
+    rng = np.random.default_rng(0)
+    k = random_psd(rng, 7, t)
+    got = chol_small_batched(jnp.asarray(k, jnp.float32))
+    want = np.linalg.cholesky(k)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("t", [96, 128, 200, 256])
+def test_cholesky_blocked_vs_oracle(t):
+    rng = np.random.default_rng(1)
+    k = random_psd(rng, 3, t)
+    got = cholesky_blocked(jnp.asarray(k, jnp.float32))
+    want = np.linalg.cholesky(k)
+    err = np.abs(np.asarray(got) - want)
+    scale = np.abs(want).max()
+    assert err.max() / scale < 5e-4
+
+
+def test_cholesky_gram_conditioning_regime():
+    # the reference's actual regime: scaled-RBF gram, T=20, l=1, cond~60
+    # (SURVEY.md §6, measured logdet ~ -12.576)
+    times = jnp.arange(1.0, 21.0)[None]
+    k = kernels.gram_bank(times, jnp.array([1.0]))
+    ld = slogdet_psd(jnp.asarray(k, jnp.float32))
+    assert abs(float(ld[0, 0]) - (-12.576)) < 1e-2
+
+
+def test_cholesky_near_singular_probe():
+    # generalization of determinant_testing_minimal.py: long lengthscale on a
+    # dense grid -> near-singular gram whose raw determinant (~3e-110) is far
+    # below fp32 underflow (~1e-38) — the failure mode that forced the
+    # reference's fp64 casts; logdet-via-Cholesky stays finite in fp32.
+    times = jnp.linspace(0.0, 45.0, 45)[None]
+    k = kernels.gram_bank(times, jnp.array([9.0]))
+    assert np.linalg.det(np.asarray(k[0, 0])) < 1e-38
+    ld = slogdet_psd(jnp.asarray(k, jnp.float32))
+    assert np.isfinite(float(ld[0, 0]))
+    ld64 = np.linalg.slogdet(np.asarray(k[0, 0]))[1]
+    assert abs(float(ld[0, 0]) - ld64) / abs(ld64) < 1e-3
+
+
+def test_gram_chol_fused_matches_composition():
+    rng = np.random.default_rng(2)
+    b, z, t = 3, 2, 20
+    times = np.sort(rng.uniform(0, 45, (b, t)), axis=-1).astype(np.float32)
+    mask = np.ones((b, t), bool)
+    mask[0, 15:] = False
+    mask[2, 10:] = False
+    ls = np.array([9.0, 3.0], np.float32)
+    got = gram_chol_fused(
+        jnp.asarray(times), jnp.asarray(ls), mask=jnp.asarray(mask)
+    )
+    kb = kernels.gram_bank(
+        jnp.asarray(times), jnp.asarray(ls), mask=jnp.asarray(mask)
+    )
+    want = np.linalg.cholesky(np.asarray(kb, np.float64))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_cholesky_custom_vjp_matches_jax_native():
+    rng = np.random.default_rng(3)
+    k = random_psd(rng, 2, 12)
+    k32 = jnp.asarray(k, jnp.float32)
+
+    def loss_custom(k):
+        l = cholesky(k)
+        return jnp.sum(jnp.log(jnp.diagonal(l, axis1=-2, axis2=-1))) + jnp.sum(
+            l * jnp.cos(jnp.arange(12.0, dtype=k.dtype))
+        )
+
+    def loss_native(k):
+        l = jnp.linalg.cholesky(k)
+        return jnp.sum(jnp.log(jnp.diagonal(l, axis1=-2, axis2=-1))) + jnp.sum(
+            l * jnp.cos(jnp.arange(12.0, dtype=k.dtype))
+        )
+
+    g_custom = jax.grad(loss_custom)(k32)
+    g_native = jax.grad(loss_native)(jnp.asarray(k))
+    np.testing.assert_allclose(
+        np.asarray(g_custom), np.asarray(g_native), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_solve_triangular_roundtrip():
+    rng = np.random.default_rng(4)
+    k = random_psd(rng, 5, 30)
+    l = np.linalg.cholesky(k)
+    b = rng.standard_normal((5, 30, 4))
+    x = solve_triangular(jnp.asarray(l), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(jnp.einsum("nij,njk->nik",
+                                                     jnp.asarray(l), x)),
+                               b, atol=1e-8)
+
+
+def test_logdet_from_chol_masked_padding_contributes_zero():
+    times = jnp.arange(10.0)[None]
+    mask = jnp.array([[True] * 6 + [False] * 4])
+    k_masked = kernels.gram_bank(times, jnp.array([2.0]), mask=mask)
+    k_short = kernels.gram_bank(times[:, :6], jnp.array([2.0]))
+    ld_m = logdet_from_chol(jnp.linalg.cholesky(k_masked))
+    ld_s = logdet_from_chol(jnp.linalg.cholesky(k_short))
+    np.testing.assert_allclose(
+        np.asarray(ld_m), np.asarray(ld_s), atol=1e-10
+    )
