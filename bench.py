@@ -1,0 +1,190 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: ELBO train steps/sec/chip on the reference toy workload
+(B=20, T=45, Z=2, irregular masked times — the exact
+src/Models/syndata/GP_VAE_syn_data.py configuration, SURVEY.md §6).
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+baseline is this framework's own XLA-composed path (batched gram -> XLA
+Cholesky), i.e. what a straight TF->JAX translation of the reference would
+delegate to.  The headline path uses the fused Pallas gram+Cholesky kernels.
+``extra`` carries the secondary BASELINE.json metrics (batched
+Cholesky+logdet TFLOP/s at T=256/1024).
+
+Steps are timed device-side (a lax.scan of train steps over pre-staged
+batches) so tunnel dispatch latency does not pollute chip throughput.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _chol_bank(method: str):
+    """chol_gram_bank implementation for the requested path."""
+    from gpvae_tpu import gp as gp_lib
+    from gpvae_tpu import kernels as kernels_lib
+    from gpvae_tpu.ops import cholesky
+
+    if method == "pallas":
+        return gp_lib.chol_gram_bank
+
+    def unfused(times, ls, *, mask=None, kernel="rbf",
+                noise=kernels_lib.DEFAULT_NOISE, variance=1.0):
+        k = kernels_lib.gram_bank(
+            times, ls, kernel=kernel, noise=noise, variance=variance,
+            mask=mask,
+        )
+        return cholesky(k, method="xla")
+
+    return unfused
+
+
+def _toy_arrays(t: int, batch: int, n_stack: int):
+    rng = np.random.default_rng(0)
+    x = (rng.random((n_stack, batch, t, 15)) < 0.4).astype(np.float32)
+    times = np.sort(rng.uniform(0, 60, (n_stack, batch, t)), -1).astype(
+        np.float32
+    )
+    mask = np.arange(t)[None, None] < rng.integers(
+        25, t + 1, (n_stack, batch)
+    )[..., None]
+    x *= mask[..., None]
+    return x, times, mask
+
+
+def time_train(method: str, t: int = 45, batch: int = 20,
+               n_stack: int = 20, n_rounds: int = 4,
+               verbose: bool = False) -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gpvae_tpu import elbo as elbo_lib
+    from gpvae_tpu import gp as gp_lib
+    from gpvae_tpu.models import GPVAE, GPVAEConfig
+    from gpvae_tpu.train import TrainConfig, TrainState, create_train_state
+
+    chol_bank = _chol_bank(method)
+
+    cfg = GPVAEConfig(
+        latent_dim=2, obs_dim=15, time_len=t,
+        prior="gp", posterior="gp",
+        prior_lengthscales=(9.0, 3.0), posterior_lengthscales=(9.0, 3.0),
+        encoder="dense", decoder="dense",
+    )
+    model = GPVAE(cfg)
+    x, times, mask = _toy_arrays(t, batch, n_stack)
+
+    batch0 = {"x": x[0], "times": times[0], "mask": mask[0]}
+    state, tx = create_train_state(model, batch0, TrainConfig())
+    sched = elbo_lib.BetaSchedule()
+
+    def one_step(state, b):
+        rng_key, sample_key = jax.random.split(state.rng)
+        beta = sched(state.step)
+
+        def loss_fn(params):
+            # swap the covariance path for this trace
+            prev = gp_lib.chol_gram_bank
+            gp_lib.chol_gram_bank = chol_bank
+            try:
+                out = model.apply(
+                    {"params": params}, b["x"], b["times"], b["mask"],
+                    beta=beta, rngs={"sample": sample_key},
+                )
+            finally:
+                gp_lib.chol_gram_bank = prev
+            return out.loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        return TrainState(
+            params=optax.apply_updates(state.params, updates),
+            opt_state=opt_state, step=state.step + 1, rng=rng_key,
+        ), loss
+
+    @jax.jit
+    def run_chunk(state, xs):
+        state, losses = jax.lax.scan(one_step, state, xs)
+        return state, losses[-1]
+
+    stacked = {
+        "x": jnp.asarray(x), "times": jnp.asarray(times),
+        "mask": jnp.asarray(mask),
+    }
+    t0 = time.perf_counter()
+    state, loss = run_chunk(state, stacked)  # compile + warm
+    jax.block_until_ready(loss)
+    if verbose:
+        print(f"[bench] {method} compile+warm {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    t0 = time.perf_counter()
+    for _ in range(n_rounds):
+        state, loss = run_chunk(state, stacked)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(loss)), "non-finite training loss in bench"
+    return n_rounds * n_stack / dt
+
+
+def time_cholesky(t: int, n: int, reps: int = 10,
+                  verbose: bool = False) -> float:
+    """Batched Cholesky+logdet TFLOP/s at size t (the BASELINE metric)."""
+    import jax
+    import jax.numpy as jnp
+    from gpvae_tpu.ops import chol_logdet
+
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((n, t, t)).astype(np.float32) / np.sqrt(t)
+    k = a @ np.swapaxes(a, -1, -2) + np.eye(t, dtype=np.float32)
+    kd = jnp.asarray(k)
+
+    @jax.jit
+    def run(kd):
+        l, ld = chol_logdet(kd)
+        return ld.sum()
+
+    t0 = time.perf_counter()
+    run(kd).block_until_ready()
+    if verbose:
+        print(f"[bench] chol T={t} compile+warm {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(kd)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    flops = reps * n * (t ** 3) / 3.0
+    return flops / dt / 1e12
+
+
+def main(verbose: bool = False):
+    import jax
+
+    backend = jax.default_backend()
+    sps_pallas = time_train("pallas", verbose=verbose)
+    sps_xla = time_train("xla", verbose=verbose)
+    tflops_256 = time_cholesky(256, 64, verbose=verbose)
+    tflops_1024 = time_cholesky(1024, 16, reps=4, verbose=verbose)
+    out = {
+        "metric": "ELBO train steps/sec/chip (toy config B=20,T=45,Z=2)",
+        "value": round(sps_pallas, 2),
+        "unit": "steps/sec",
+        "vs_baseline": round(sps_pallas / sps_xla, 3),
+        "extra": {
+            "backend": backend,
+            "xla_path_steps_per_sec": round(sps_xla, 2),
+            "chol_logdet_tflops_T256_N64": round(tflops_256, 4),
+            "chol_logdet_tflops_T1024_N16": round(tflops_1024, 4),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(verbose="-v" in sys.argv)

@@ -1,0 +1,163 @@
+"""Named experiment presets.
+
+The reference has no config system — hyperparameters are constants edited
+in-file, and machine variants are whole-file copies (SURVEY.md §5 config).
+Each reference script and each BASELINE.json benchmark config becomes a
+named preset here.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from gpvae_tpu import elbo as elbo_lib
+from gpvae_tpu.models import GPVAEConfig
+from gpvae_tpu.train import TrainConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class Preset:
+    name: str
+    model: GPVAEConfig
+    train: TrainConfig
+    batch_size: int
+    description: str = ""
+
+
+def _p(name, model, train, batch_size, description=""):
+    return Preset(name, model, train, batch_size, description)
+
+
+_MNIST_CONV = dict(
+    obs_dim=64 * 64, time_len=20, encoder="conv", decoder="conv",
+    image_shape=(64, 64, 1), latent_dim=100,
+)
+# Reference MNIST batch = 5 sequences (= 100 frames),
+# src/Models/Full_GP_VAE_dynamic_time.py:311-318
+_MNIST_TRAIN = TrainConfig(
+    learning_rate=2e-4, num_steps=5_000_000,
+    beta=elbo_lib.CONSTANT_BETA, checkpoint_every=25_000,
+)
+# Reference toy β schedule, src/Models/syndata/GP_VAE_syn_data.py:344,361-364
+_TOY_BETA = elbo_lib.BetaSchedule(init=1e-3, rate=1e-7, start_step=20_000)
+_TOY_BETA_VM = elbo_lib.BetaSchedule(init=1e-4, rate=1e-6, start_step=20_000)
+
+
+PRESETS: dict[str, Preset] = {}
+
+
+def register(preset: Preset):
+    PRESETS[preset.name] = preset
+    return preset
+
+
+# --- the reference model zoo (SURVEY.md §2.2) ------------------------------
+
+register(_p(
+    "vanilla_vae",
+    GPVAEConfig(prior="standard", posterior="diag", **_MNIST_CONV),
+    _MNIST_TRAIN, batch_size=5,
+    description="Baseline conv VAE (src/Models/Vanilla_VAE.py)",
+))
+register(_p(
+    "gp_prior_diag",
+    GPVAEConfig(
+        prior="gp", posterior="diag",
+        prior_lengthscales=(1.0,), learn_prior_lengthscales=False,
+        **_MNIST_CONV,
+    ),
+    _MNIST_TRAIN, batch_size=5,
+    description="GP prior + diagonal posterior (src/Models/VAE_GPprior_diag_cov.py)",
+))
+register(_p(
+    "full_gp_fixed",
+    GPVAEConfig(
+        prior="gp", posterior="gp",
+        prior_lengthscales=(1.0,), learn_prior_lengthscales=True,
+        posterior_lengthscales=(1.0,), learn_posterior_lengthscales=True,
+        **_MNIST_CONV,
+    ),
+    _MNIST_TRAIN, batch_size=5,
+    description="Full GP prior+posterior, fixed times 1..20 "
+    "(src/Models/Full_GP_VAE_fixed_for_MovMnist.py; learnable prior l :96)",
+))
+register(_p(
+    "full_gp_dynamic",
+    GPVAEConfig(
+        prior="gp", posterior="gp",
+        prior_lengthscales=(1.0,), learn_prior_lengthscales=False,
+        posterior_lengthscales=(1.0,), learn_posterior_lengthscales=True,
+        **_MNIST_CONV,
+    ),
+    _MNIST_TRAIN, batch_size=5,
+    description="Full GP, irregular per-sequence times "
+    "(src/Models/Full_GP_VAE_dynamic_time.py)",
+))
+register(_p(
+    "syn_data",
+    GPVAEConfig(
+        latent_dim=2, obs_dim=15, time_len=45,
+        prior="gp", posterior="gp",
+        prior_lengthscales=(9.0, 3.0), learn_prior_lengthscales=False,
+        posterior_lengthscales=(9.0, 3.0), learn_posterior_lengthscales=True,
+        encoder="dense", decoder="dense", num_samples=1,
+    ),
+    TrainConfig(num_steps=3_000_000, beta=_TOY_BETA),
+    batch_size=20,
+    description="Dense GP-VAE on toy GP draws (src/Models/syndata/GP_VAE_syn_data.py)",
+))
+register(_p(
+    "syn_data_vm",
+    dataclasses.replace(PRESETS["syn_data"].model),
+    TrainConfig(num_steps=3_000_000, beta=_TOY_BETA_VM),
+    batch_size=20,
+    description="VM hyperparameter variant (src/Models/syndata/GP_VAE_syn_data_VM.py; "
+    "differs only in the beta schedule)",
+))
+register(_p(
+    "mnist_from_syndata",
+    dataclasses.replace(PRESETS["full_gp_dynamic"].model),
+    TrainConfig(
+        num_steps=5_000_000,
+        beta=elbo_lib.BetaSchedule(init=1e-3, rate=5e-6, start_step=20_000),
+    ),
+    batch_size=5,
+    description="Dynamic-time machinery + conv nets on MovingMNIST "
+    "(src/Models/syndata/GP_VAE_mnist_from_syndata.py)",
+))
+register(_p(
+    "gp_recog",
+    GPVAEConfig(
+        prior="standard", posterior="gp_plus_diag",
+        posterior_lengthscales=(1.0,), learn_posterior_lengthscales=True,
+        **_MNIST_CONV,
+    ),
+    _MNIST_TRAIN, batch_size=5,
+    description="GP recognition + N(0,1) prior (src/Models/GP_recog_VAE_prior.py); "
+    "set reference_recog_kl=True on the model config for behavioral parity "
+    "with the reference's mismatched standard KL",
+))
+
+# --- BASELINE.json benchmark configs ---------------------------------------
+
+register(_p(
+    "bench_t100",
+    GPVAEConfig(
+        latent_dim=2, obs_dim=15, time_len=100,
+        prior="gp", posterior="gp",
+        prior_lengthscales=(9.0, 3.0),
+        posterior_lengthscales=(9.0, 3.0),
+        encoder="dense", decoder="dense",
+    ),
+    TrainConfig(num_steps=1000, beta=_TOY_BETA),
+    batch_size=32,
+    description="BASELINE config 1: synthetic T=100 RBF, batch 32",
+))
+
+
+def get(name: str) -> Preset:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown preset {name!r}; available: {sorted(PRESETS)}"
+        ) from None

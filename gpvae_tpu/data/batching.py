@@ -1,0 +1,50 @@
+"""Cyclic shuffling batcher over fixed-shape array dicts.
+
+Replaces the reference's per-dataset counter + reshuffle-on-wrap logic
+(``DataHandler.data_batch``, src/Models/DataHandler.py:22-51;
+``SyntheticDataHandler.data_batch``, :111-124) with one generic host-side
+iterator.  All arrays are fixed-shape (ragged sequences are carried as
+masks), so every batch feeds a single compiled train step — no retraces.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class Batcher:
+    """Cycles over ``arrays`` (dict of same-leading-dim numpy arrays) in
+    batches of ``batch_size``, reshuffling whenever a batch would run past
+    the end (the reference's wrap semantics)."""
+
+    def __init__(self, arrays: dict, batch_size: int, *, seed: int = 0,
+                 shuffle: bool = True):
+        self.arrays = {k: np.asarray(v) for k, v in arrays.items()}
+        sizes = {k: v.shape[0] for k, v in self.arrays.items()}
+        if len(set(sizes.values())) != 1:
+            raise ValueError(f"inconsistent leading dims: {sizes}")
+        self.n = next(iter(sizes.values()))
+        if batch_size > self.n:
+            raise ValueError(f"batch_size {batch_size} > dataset size {self.n}")
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+        self._order = np.arange(self.n)
+        self._pos = 0
+        if shuffle:
+            self._rng.shuffle(self._order)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> dict:
+        if self._pos + self.batch_size > self.n:
+            if self.shuffle:
+                self._rng.shuffle(self._order)
+            self._pos = 0
+        idx = self._order[self._pos:self._pos + self.batch_size]
+        self._pos += self.batch_size
+        return {k: v[idx] for k, v in self.arrays.items()}
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return self.n // self.batch_size

@@ -1,0 +1,283 @@
+"""The GP-VAE model zoo as one configurable flax module.
+
+The reference implements its seven model variants as whole-file copies
+(SURVEY.md §2.2); here one ``GPVAE`` module covers the full capability
+matrix via ``GPVAEConfig``:
+
+| reference script                         | prior     | posterior      | nets  |
+|------------------------------------------|-----------|----------------|-------|
+| Vanilla_VAE.py                           | standard  | diag           | conv  |
+| VAE_GPprior_diag_cov.py                  | gp (l=1)  | diag           | conv  |
+| Full_GP_VAE_fixed_for_MovMnist.py        | gp learn  | gp learn       | conv  |
+| Full_GP_VAE_dynamic_time.py              | gp (l=1)  | gp learn       | conv  |
+| syndata/GP_VAE_syn_data.py (+_VM)        | gp [9,3]  | gp learn [9,3] | dense |
+| syndata/GP_VAE_mnist_from_syndata.py     | gp (l=1)  | gp learn       | conv  |
+| GP_recog_VAE_prior.py                    | standard  | gp_plus_diag   | conv  |
+
+(see configs.py for the named presets.)
+
+Time grids are always a static ``[B, T]`` array plus a boolean mask — fixed
+grids are just a constant-times/all-true-mask special case, so the reference's
+separate fixed-time and dynamic-time codepaths collapse into one.
+
+Deliberate deltas from the reference:
+* lengthscales are parameterized in log space (always positive; the
+  reference's raw tf.Variables can wander negative);
+* all randomness flows through explicit flax RNG streams ("sample");
+* the recognition model's KL defaults to the *exact* KL of its sampling
+  distribution; set ``reference_recog_kl=True`` for behavioral parity with
+  the reference's mismatched standard KL (src/Models/GP_recog_VAE_prior.py:
+  65-70 vs :159-160, SURVEY.md §7 "quirks").
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gpvae_tpu import elbo as elbo_lib
+from gpvae_tpu import gp, nets
+
+PRIORS = ("standard", "gp")
+POSTERIORS = ("diag", "gp", "gp_plus_diag")
+NETS = ("dense", "conv")
+
+
+@dataclasses.dataclass(frozen=True)
+class GPVAEConfig:
+    latent_dim: int = 2
+    obs_dim: int = 15
+    time_len: int = 45
+    prior: str = "gp"
+    posterior: str = "gp"
+    encoder: str = "dense"
+    decoder: str = "dense"
+    image_shape: tuple[int, int, int] = (64, 64, 1)
+    kernel: str = "rbf"
+    noise: float = 1e-3
+    # scalar entries broadcast over latent dims; len == latent_dim otherwise
+    prior_lengthscales: tuple[float, ...] = (9.0, 3.0)
+    posterior_lengthscales: tuple[float, ...] = (9.0, 3.0)
+    learn_prior_lengthscales: bool = False
+    learn_posterior_lengthscales: bool = True
+    num_samples: int = 1
+    reference_recog_kl: bool = False
+
+    def __post_init__(self):
+        if self.prior not in PRIORS:
+            raise ValueError(f"prior must be one of {PRIORS}")
+        if self.posterior not in POSTERIORS:
+            raise ValueError(f"posterior must be one of {POSTERIORS}")
+        if self.encoder not in NETS or self.decoder not in NETS:
+            raise ValueError(f"nets must be one of {NETS}")
+        if self.posterior == "gp_plus_diag" and self.prior != "standard":
+            raise ValueError(
+                "gp_plus_diag posterior pairs with the standard prior "
+                "(reference GP_recog_VAE_prior.py)"
+            )
+
+    def _ls_tuple(self, raw: tuple[float, ...]) -> tuple[float, ...]:
+        if len(raw) == 1:
+            return raw * self.latent_dim
+        if len(raw) != self.latent_dim:
+            raise ValueError(
+                f"lengthscales {raw} incompatible with Z={self.latent_dim}"
+            )
+        return raw
+
+    @property
+    def needs_log_var(self) -> bool:
+        return self.posterior in ("diag", "gp_plus_diag")
+
+    @property
+    def needs_times(self) -> bool:
+        return self.prior == "gp" or self.posterior in ("gp", "gp_plus_diag")
+
+
+@dataclasses.dataclass
+class ELBOOutput:
+    loss: jnp.ndarray          # scalar: mean over batch of (nll + beta*kl)
+    nll: jnp.ndarray           # [B]
+    kl: jnp.ndarray            # [B]
+    beta: jnp.ndarray
+    latent_mean: jnp.ndarray   # [B, T, Z]
+    latent_sample: jnp.ndarray  # [S, B, T, Z]
+    logits: jnp.ndarray        # [S, B, T, ...]
+    aux: dict[str, Any]
+
+
+jax.tree_util.register_dataclass(
+    ELBOOutput,
+    data_fields=["loss", "nll", "kl", "beta", "latent_mean", "latent_sample",
+                 "logits", "aux"],
+    meta_fields=[],
+)
+
+
+class GPVAE(nn.Module):
+    """Configurable GP-VAE; see module docstring for the capability matrix."""
+    config: GPVAEConfig
+
+    def setup(self):
+        c = self.config
+        if c.encoder == "dense":
+            self.encoder_net = nets.DenseEncoder(
+                c.latent_dim, with_log_var=c.needs_log_var
+            )
+        else:
+            self.encoder_net = nets.ConvEncoder(
+                c.latent_dim, with_log_var=c.needs_log_var
+            )
+        if c.decoder == "dense":
+            self.decoder_net = nets.DenseDecoder(c.obs_dim)
+        else:
+            self.decoder_net = nets.ConvDecoder(c.image_shape)
+
+        q_init = jnp.log(jnp.asarray(
+            c._ls_tuple(c.posterior_lengthscales), jnp.float32
+        ))
+        p_init = jnp.log(jnp.asarray(
+            c._ls_tuple(c.prior_lengthscales), jnp.float32
+        ))
+        if c.posterior in ("gp", "gp_plus_diag"):
+            if c.learn_posterior_lengthscales:
+                self.posterior_log_ls = self.param(
+                    "posterior_log_ls", lambda _: q_init
+                )
+            else:
+                self.posterior_log_ls = q_init
+        if c.prior == "gp":
+            if c.learn_prior_lengthscales:
+                self.prior_log_ls = self.param(
+                    "prior_log_ls", lambda _: p_init
+                )
+            else:
+                self.prior_log_ls = p_init
+
+    # -- pieces (each independently callable via .apply(method=...),
+    #    the capability the reference hacks with get_tensor_by_name
+    #    re-entry, SURVEY.md §3.4) ------------------------------------
+
+    def encode(self, x: jnp.ndarray):
+        """[B, T, ...] -> mean [B, T, Z] (and log_var if configured)."""
+        b, t = x.shape[:2]
+        flat = x.reshape((b * t,) + x.shape[2:])
+        out = self.encoder_net(flat)
+        if self.config.needs_log_var:
+            mean, log_var = out
+            return (
+                mean.reshape(b, t, -1),
+                log_var.reshape(b, t, -1),
+            )
+        return out.reshape(b, t, -1)
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        """[S, B, T, Z] (or [B, T, Z]) -> logits with matching leading dims."""
+        lead = z.shape[:-1]
+        flat = z.reshape((-1, z.shape[-1]))
+        logits = self.decoder_net(flat)
+        return logits.reshape(lead + logits.shape[1:])
+
+    def posterior_chol(self, times, mask):
+        return gp.chol_gram_bank(
+            times, jnp.exp(self.posterior_log_ls), mask=mask,
+            kernel=self.config.kernel, noise=self.config.noise,
+        )
+
+    def prior_chol(self, times, mask):
+        return gp.chol_gram_bank(
+            times, jnp.exp(self.prior_log_ls), mask=mask,
+            kernel=self.config.kernel, noise=self.config.noise,
+        )
+
+    def sample_posterior(self, x, times, mask, num_samples):
+        """Encode + reparameterized draw -> (z [S,B,T,Z], mean, aux)."""
+        c = self.config
+        key = self.make_rng("sample")
+        if c.needs_log_var:
+            mean, log_var = self.encode(x)
+        else:
+            mean = self.encode(x)
+            log_var = None
+        if mask is not None:
+            m = mask.astype(mean.dtype)[..., None]
+            mean = mean * m
+        aux: dict[str, Any] = {}
+        if c.posterior == "diag":
+            z = gp.diag_sample(key, mean, log_var, num_samples, mask)
+        elif c.posterior == "gp":
+            l_q = self.posterior_chol(times, mask)
+            aux["l_q"] = l_q
+            z = gp.gp_sample(key, mean, l_q, num_samples, mask)
+        else:  # gp_plus_diag
+            l_q = self.posterior_chol(times, mask)
+            aux["l_q"] = l_q
+            z = gp.recog_sample(key, mean, log_var, l_q, num_samples, mask)
+        return z, mean, log_var, aux
+
+    def kl(self, mean, log_var, times, mask, aux):
+        """Per-sequence KL [B] for the configured prior/posterior pair."""
+        c = self.config
+        if c.prior == "gp":
+            l_p = self.prior_chol(times, mask)
+            if c.posterior == "gp":
+                kl_bz = gp.gp_kl(mean, aux["l_q"], l_p, mask)
+            elif c.posterior == "diag":
+                kl_bz = gp.gp_prior_diag_kl(mean, log_var, l_p, mask)
+            else:
+                raise NotImplementedError
+            return jnp.sum(kl_bz, axis=-1)
+        # standard N(0, I) prior
+        if c.posterior == "diag":
+            return gp.standard_kl(mean, log_var, mask)
+        if c.posterior == "gp_plus_diag":
+            if c.reference_recog_kl:
+                return gp.standard_kl(mean, log_var, mask)
+            return jnp.sum(
+                gp.recog_gp_kl(mean, log_var, aux["l_q"], mask), axis=-1
+            )
+        # standard prior + full-GP posterior: KL vs identity factor
+        b, z, t, _ = aux["l_q"].shape
+        eye = jnp.broadcast_to(
+            jnp.eye(t, dtype=aux["l_q"].dtype), aux["l_q"].shape
+        )
+        return jnp.sum(gp.gp_kl(mean, aux["l_q"], eye, mask), axis=-1)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        times: jnp.ndarray | None = None,
+        mask: jnp.ndarray | None = None,
+        *,
+        beta: jnp.ndarray | float = 1.0,
+        num_samples: int | None = None,
+    ) -> ELBOOutput:
+        c = self.config
+        s = num_samples if num_samples is not None else c.num_samples
+        if times is None:
+            if c.needs_times:
+                raise ValueError(f"{c.prior}/{c.posterior} model needs times")
+            times = jnp.broadcast_to(
+                jnp.arange(x.shape[1], dtype=jnp.float32), x.shape[:2]
+            )
+        z, mean, log_var, aux = self.sample_posterior(x, times, mask, s)
+        kl_b = self.kl(mean, log_var, times, mask, aux)
+        logits = self.decode(z)
+        nll_b = elbo_lib.bernoulli_nll(logits, x, mask)
+        beta = jnp.asarray(beta, nll_b.dtype)
+        loss = jnp.mean(nll_b + beta * kl_b)
+        return ELBOOutput(
+            loss=loss,
+            nll=nll_b,
+            kl=kl_b,
+            beta=beta,
+            latent_mean=mean,
+            latent_sample=z,
+            logits=logits,
+            aux={
+                k: v for k, v in aux.items()
+            } | ({"log_var": log_var} if log_var is not None else {}),
+        )

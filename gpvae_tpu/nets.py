@@ -1,0 +1,140 @@
+"""Encoder/decoder networks (flax.linen).
+
+Re-implementations of the reference's L4 layer:
+
+* dense MLP encoder/decoder (obs 15 <-> Z) —
+  src/Models/syndata/GP_VAE_syn_data.py:15-39 (encode), :238-275 (decode),
+  truncated-normal(0.1) weights / 0.1 bias init (:9-13);
+* strided conv encoder / transposed-conv decoder (64x64x1 <-> Z) —
+  src/Models/Full_GP_VAE_dynamic_time.py:15-58 (encode), :262-292 (decode);
+* optional log-variance head for diagonal/recognition posteriors —
+  src/Models/VAE_GPprior_diag_cov.py:54-62.
+
+Design deltas from the reference (deliberate):
+* decoders return *logits*, not clamped sigmoid probabilities — the Bernoulli
+  NLL is computed with the numerically stable log-sigmoid form instead of the
+  reference's ``log(p + 1e-10)`` clamp (GP_VAE_syn_data.py:334-341);
+* convolutions are XLA-native ``lax.conv_general_dilated`` via flax — already
+  MXU-optimal on TPU (SURVEY.md §2.3), no custom kernel warranted.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# Reference initializers (src/Models/syndata/GP_VAE_syn_data.py:9-13)
+_W_INIT = nn.initializers.truncated_normal(stddev=0.1)
+_B_INIT = nn.initializers.constant(0.1)
+
+# Reference conv channel schedule (src/Models/Full_GP_VAE_dynamic_time.py:27-58)
+CONV_FEATURES = (16, 32, 64, 128, 256, 512)
+# Reference dense hidden schedule (src/Models/syndata/GP_VAE_syn_data.py:15-39)
+DENSE_HIDDEN = (32, 32, 16, 8)
+
+
+class DenseEncoder(nn.Module):
+    """15 -> 32 -> 32 -> 16 -> 8 -> Z ReLU MLP with linear mean head
+    (and optional log-variance head)."""
+    latent_dim: int
+    hidden: Sequence[int] = DENSE_HIDDEN
+    with_log_var: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        for width in self.hidden:
+            h = nn.relu(
+                nn.Dense(width, kernel_init=_W_INIT, bias_init=_B_INIT)(h)
+            )
+        mean = nn.Dense(
+            self.latent_dim, kernel_init=_W_INIT, bias_init=_B_INIT,
+            name="mean_head",
+        )(h)
+        if not self.with_log_var:
+            return mean
+        log_var = nn.Dense(
+            self.latent_dim, kernel_init=_W_INIT, bias_init=_B_INIT,
+            name="log_var_head",
+        )(h)
+        return mean, log_var
+
+
+class DenseDecoder(nn.Module):
+    """Z -> 8 -> 16 -> 32 -> 32 -> obs_dim, returning Bernoulli logits."""
+    obs_dim: int
+    hidden: Sequence[int] = tuple(reversed(DENSE_HIDDEN))
+
+    @nn.compact
+    def __call__(self, z):
+        h = z
+        for width in self.hidden:
+            h = nn.relu(
+                nn.Dense(width, kernel_init=_W_INIT, bias_init=_B_INIT)(h)
+            )
+        return nn.Dense(
+            self.obs_dim, kernel_init=_W_INIT, bias_init=_B_INIT,
+            name="logits_head",
+        )(h)
+
+
+class ConvEncoder(nn.Module):
+    """64x64x1 -> six stride-2 3x3 convs (16..512) -> flatten -> Z.
+
+    Input: ``[N, H, W, C]`` frames (callers flatten [B, T] into N)."""
+    latent_dim: int
+    features: Sequence[int] = CONV_FEATURES
+    with_log_var: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        for feat in self.features:
+            h = nn.relu(
+                nn.Conv(
+                    feat, kernel_size=(3, 3), strides=(2, 2), padding="SAME",
+                    kernel_init=_W_INIT, bias_init=_B_INIT,
+                )(h)
+            )
+        h = h.reshape((h.shape[0], -1))
+        mean = nn.Dense(
+            self.latent_dim, kernel_init=_W_INIT, bias_init=_B_INIT,
+            name="mean_head",
+        )(h)
+        if not self.with_log_var:
+            return mean
+        log_var = nn.Dense(
+            self.latent_dim, kernel_init=_W_INIT, bias_init=_B_INIT,
+            name="log_var_head",
+        )(h)
+        return mean, log_var
+
+
+class ConvDecoder(nn.Module):
+    """Z -> dense 512 -> 1x1x512 -> six stride-2 transposed convs -> 64x64
+    logits (reference src/Models/Full_GP_VAE_dynamic_time.py:262-292)."""
+    image_shape: tuple[int, int, int] = (64, 64, 1)
+    features: Sequence[int] = tuple(reversed(CONV_FEATURES))
+
+    @nn.compact
+    def __call__(self, z):
+        h = nn.relu(
+            nn.Dense(
+                self.features[0], kernel_init=_W_INIT, bias_init=_B_INIT
+            )(z)
+        )
+        h = h.reshape((h.shape[0], 1, 1, self.features[0]))
+        for feat in self.features[1:]:
+            h = nn.relu(
+                nn.ConvTranspose(
+                    feat, kernel_size=(3, 3), strides=(2, 2), padding="SAME",
+                    kernel_init=_W_INIT, bias_init=_B_INIT,
+                )(h)
+            )
+        h = nn.ConvTranspose(
+            self.image_shape[-1], kernel_size=(3, 3), strides=(2, 2),
+            padding="SAME", kernel_init=_W_INIT, bias_init=_B_INIT,
+            name="logits_head",
+        )(h)
+        return h  # [N, H, W, C] logits

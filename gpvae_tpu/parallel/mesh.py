@@ -1,0 +1,112 @@
+"""Data-parallel training over a device mesh.
+
+The reference is strictly single-process/single-device (SURVEY.md §2.4: no
+tf.device, no distribution strategy, no NCCL/MPI anywhere).  The TPU-native
+scaling story (BASELINE.json config 5: 4096 series x T=1024 on a v5p mesh):
+
+* one ``Mesh`` with a ``data`` axis over all chips;
+* the batch (and with it the ``[B*Z]`` batch-of-matrices axis of the
+  covariance subsystem — every gram/Cholesky/solve shards for free with B)
+  sharded over ``data`` via ``NamedSharding``;
+* parameters/optimizer state replicated;
+* gradient combination compiles to one ``psum`` over ICI — XLA inserts the
+  collective from the sharding annotations; there is no hand-written
+  communication.
+
+TP/PP are deliberately absent: the largest dense layer in the model family
+is 512x100 (SURVEY.md §2.4), far below the threshold where sharded matmuls
+pay for their collectives.  The mesh axes tuple is the extension hook.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gpvae_tpu import elbo as elbo_lib
+from gpvae_tpu.models import GPVAE
+from gpvae_tpu.train import TrainState
+
+import optax
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    axis_name: str = "data",
+    devices: list | None = None,
+) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"need {n_devices} devices, have {len(devices)}"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+    """Place each batch array with its leading dim sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return {k: jax.device_put(jax.numpy.asarray(v), sharding)
+            for k, v in batch.items()}
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def make_parallel_train_step(
+    model: GPVAE,
+    tx: optax.GradientTransformation,
+    beta_schedule: elbo_lib.BetaSchedule,
+    mesh: Mesh,
+    axis_name: str = "data",
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Jitted data-parallel train step: batch sharded over ``axis_name``,
+    state replicated, gradients psum-reduced by XLA from the output
+    sharding constraint."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+
+    def step_fn(state: TrainState, batch: dict):
+        rng, sample_key = jax.random.split(state.rng)
+        beta = beta_schedule(state.step)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params},
+                batch["x"], batch["times"], batch["mask"],
+                beta=beta,
+                rngs={"sample": sample_key},
+            )
+            return out.loss, out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state,
+            step=state.step + 1, rng=rng,
+        )
+        metrics = {
+            "loss": loss,
+            "nll": jax.numpy.mean(out.nll),
+            "kl": jax.numpy.mean(out.kl),
+            "beta": beta,
+        }
+        return new_state, metrics
+
+    batch_shardings = {"x": data, "times": data, "mask": data}
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_shardings),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

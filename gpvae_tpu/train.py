@@ -1,0 +1,301 @@
+"""Training: one jitted ELBO step (optax Adam), metrics, checkpointing,
+and the experiment driver loop.
+
+Replaces the reference's L5 layer — the per-script ``main()`` train loops
+(src/Models/syndata/GP_VAE_syn_data.py:277-399,
+src/Models/Full_GP_VAE_dynamic_time.py:302-416):
+
+* ``tf.train.AdamOptimizer(2e-4)`` (…:348, identical in all 9 scripts)
+  -> ``optax.adam`` inside one jitted step — forward, KL, backward through
+  the Cholesky custom VJP, and the update compile to a single XLA program;
+* per-step ``feed_dict`` host->device copies -> device-resident batches
+  (the only host boundary is the numpy Batcher);
+* ``tf.train.Saver`` snapshots every 25k steps + manual restore-by-name
+  (…:374,413; SURVEY.md §5 checkpoint) -> orbax CheckpointManager over an
+  explicit (params, opt_state, step, rng) pytree with auto-resume;
+* loss prints every 500 steps incl. learned lengthscales (…:367-374) and
+  CSV loss files (``write_file``, src/Models/Full_GP_VAE_dynamic_time.py:
+  294-300 — whose ``type=`` kwarg crash we do not reproduce) -> a metrics
+  log with the same observables.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gpvae_tpu import elbo as elbo_lib
+from gpvae_tpu.models import GPVAE
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+jax.tree_util.register_dataclass(
+    TrainState,
+    data_fields=["params", "opt_state", "step", "rng"],
+    meta_fields=[],
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 2e-4  # reference Adam lr, all scripts
+    num_steps: int = 10_000
+    beta: elbo_lib.BetaSchedule = elbo_lib.BetaSchedule()
+    log_every: int = 500         # reference print cadence (…:367)
+    checkpoint_every: int = 25_000  # reference Saver cadence (…:374)
+    checkpoint_dir: str | None = None
+    keep_checkpoints: int = 3
+    seed: int = 0
+
+
+def create_train_state(
+    model: GPVAE, batch: dict, config: TrainConfig
+) -> tuple[TrainState, optax.GradientTransformation]:
+    init_key, sample_key, train_key = jax.random.split(
+        jax.random.key(config.seed), 3
+    )
+    params = model.init(
+        {"params": init_key, "sample": sample_key},
+        jnp.asarray(batch["x"]),
+        jnp.asarray(batch["times"]),
+        jnp.asarray(batch["mask"]),
+    )["params"]
+    tx = optax.adam(config.learning_rate)
+    state = TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=train_key,
+    )
+    return state, tx
+
+
+def make_train_step(
+    model: GPVAE,
+    tx: optax.GradientTransformation,
+    beta_schedule: elbo_lib.BetaSchedule,
+    *,
+    donate: bool = True,
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Build the single jitted train step (state donated for in-place
+    buffer reuse on device)."""
+
+    def step_fn(state: TrainState, batch: dict):
+        rng, sample_key = jax.random.split(state.rng)
+        beta = beta_schedule(state.step)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params},
+                batch["x"], batch["times"], batch["mask"],
+                beta=beta,
+                rngs={"sample": sample_key},
+            )
+            return out.loss, out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "nll": jnp.mean(out.nll),
+            "kl": jnp.mean(out.kl),
+            "beta": beta,
+            # lengthscale trajectories are a first-class observable
+            # (reference prints them every 500 steps, …:370-371)
+            **{
+                f"lengthscale_{name}": jnp.exp(state.params[name])
+                for name in ("posterior_log_ls", "prior_log_ls")
+                if name in state.params
+            },
+        }
+        new_state = TrainState(
+            params=params, opt_state=opt_state,
+            step=state.step + 1, rng=rng,
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def eval_step(model: GPVAE, params, batch: dict, key: jax.Array,
+              beta: float = 1.0) -> dict:
+    out = model.apply(
+        {"params": params},
+        jnp.asarray(batch["x"]), jnp.asarray(batch["times"]),
+        jnp.asarray(batch["mask"]),
+        beta=beta, rngs={"sample": key},
+    )
+    return {"loss": out.loss, "nll": jnp.mean(out.nll),
+            "kl": jnp.mean(out.kl)}
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax)
+# ---------------------------------------------------------------------------
+
+class CheckpointManager:
+    """Thin orbax wrapper holding (params, opt_state, step, rng).
+
+    The reference saves full graph variables but keeps the step only in
+    filenames and never auto-resumes (SURVEY.md §5 failure detection);
+    here ``restore_latest`` makes re-running a script resume exactly."""
+
+    def __init__(self, directory: str, keep: int = 3):
+        import orbax.checkpoint as ocp
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True
+            ),
+        )
+
+    def save(self, state: TrainState):
+        import orbax.checkpoint as ocp
+        step = int(state.step)
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(step),
+            "rng": jax.random.key_data(state.rng),
+        }
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
+    def restore_latest(self, state: TrainState) -> TrainState | None:
+        """Restore into the structure of ``state``; None if no checkpoint."""
+        import orbax.checkpoint as ocp
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        template = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(0),
+            "rng": jax.random.key_data(state.rng),
+        }
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        return TrainState(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"], jnp.int32),
+            rng=jax.random.wrap_key_data(restored["rng"]),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Experiment driver
+# ---------------------------------------------------------------------------
+
+class MetricsLog:
+    """In-memory metrics record + optional CSV (the reference's
+    ``write_file`` loss CSVs, src/Models/Full_GP_VAE_dynamic_time.py:294-300,
+    minus its crashing kwarg)."""
+
+    def __init__(self, csv_path: str | None = None):
+        self.rows: list[dict] = []
+        self._csv = csv_path
+        if csv_path:
+            os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
+            with open(csv_path, "w") as f:
+                f.write("step,loss,nll,kl,beta\n")
+
+    def append(self, step: int, metrics: dict):
+        row = {"step": step}
+        for k, v in metrics.items():
+            arr = np.asarray(v)
+            row[k] = arr.item() if arr.ndim == 0 else arr.tolist()
+        self.rows.append(row)
+        if self._csv:
+            with open(self._csv, "a") as f:
+                f.write(
+                    f"{step},{row.get('loss')},{row.get('nll')},"
+                    f"{row.get('kl')},{row.get('beta')}\n"
+                )
+
+
+def fit(
+    model: GPVAE,
+    batches: Iterator[dict],
+    config: TrainConfig,
+    *,
+    state: TrainState | None = None,
+    csv_path: str | None = None,
+    verbose: bool = True,
+) -> tuple[TrainState, MetricsLog]:
+    """Run the training loop; resumes from ``config.checkpoint_dir`` if a
+    checkpoint exists there."""
+    first = next(batches)
+    if state is None:
+        state, tx = create_train_state(model, first, config)
+    else:
+        tx = optax.adam(config.learning_rate)
+    ckpt = (
+        CheckpointManager(config.checkpoint_dir, config.keep_checkpoints)
+        if config.checkpoint_dir else None
+    )
+    if ckpt is not None:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state = restored
+            if verbose:
+                print(f"resumed from step {int(state.step)}")
+
+    step_fn = make_train_step(model, tx, config.beta)
+    log = MetricsLog(csv_path)
+    t_last = time.perf_counter()
+    batch = first
+    # host-side step counter: reading state.step back every iteration would
+    # force a device sync per step (ruinous over a remote-device tunnel)
+    step = int(state.step)
+    while step < config.num_steps:
+        state, metrics = step_fn(state, _device_batch(batch))
+        step += 1
+        if step % config.log_every == 0 or step == config.num_steps:
+            jax.block_until_ready(metrics["loss"])
+            now = time.perf_counter()
+            sps = config.log_every / max(now - t_last, 1e-9)
+            t_last = now
+            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            log.append(step, {**metrics, "steps_per_sec": sps})
+            if verbose:
+                print(
+                    f"step {step}: loss={float(metrics['loss']):.4f} "
+                    f"nll={float(metrics['nll']):.4f} "
+                    f"kl={float(metrics['kl']):.4f} "
+                    f"beta={float(metrics['beta']):.2e} "
+                    f"({sps:.1f} steps/s)"
+                )
+        if ckpt is not None and step % config.checkpoint_every == 0:
+            ckpt.save(state)
+        batch = next(batches)
+    if ckpt is not None:
+        ckpt.save(state)
+    return state, log
+
+
+def _device_batch(batch: dict) -> dict:
+    return {
+        "x": jnp.asarray(batch["x"]),
+        "times": jnp.asarray(batch["times"], jnp.float32),
+        "mask": jnp.asarray(batch["mask"]),
+    }

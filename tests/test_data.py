@@ -1,0 +1,71 @@
+"""Data layer: toy generator statistics, batcher wrap semantics,
+MovingMNIST pipeline contract."""
+import jax
+import numpy as np
+
+from gpvae_tpu.data import (
+    Batcher,
+    MovingMNIST,
+    generate_toy_data,
+    synthetic_moving_mnist,
+    toy_to_masked_batch,
+)
+
+
+def test_generate_toy_data_contract():
+    data = generate_toy_data(jax.random.key(0), 64)
+    x = np.asarray(data["x"])
+    mask = np.asarray(data["mask"])
+    assert x.shape == (64, 45, 15)
+    assert mask.shape == (64, 45)
+    # observed entries are exactly {0, 1}; hidden are exactly -1
+    assert set(np.unique(x[mask])) <= {0.0, 1.0}
+    assert np.all(x[~mask] == -1.0)
+    # probabilities sum to one across the three groups
+    p = np.asarray(data["p"])
+    np.testing.assert_allclose(p.sum(1), 1.0, atol=1e-6)
+    # Poisson(0.7*45) draws WITH replacement: expected distinct fraction
+    # 1-exp(-0.7) ~ 0.503 of timesteps hidden
+    hidden_frac = (~mask).mean()
+    assert 0.35 < hidden_frac < 0.65
+
+
+def test_toy_latents_match_kernel_statistics():
+    # empirical variance of the RBF latent ~ 1.0, cosine latent ~ 0.75
+    data = generate_toy_data(jax.random.key(1), 2000)
+    f = np.asarray(data["f"])
+    assert abs(f[:, 0, :].var() - 1.0) < 0.1
+    assert abs(f[:, 1, :].var() - 0.75) < 0.1
+
+
+def test_toy_to_masked_batch():
+    data = generate_toy_data(jax.random.key(2), 16)
+    batch = toy_to_masked_batch(
+        {k: np.asarray(v) for k, v in data.items()}
+    )
+    assert batch["x"].shape == (16, 45, 15)
+    assert batch["times"].shape == (16, 45)
+    assert set(np.unique(batch["x"])) <= {0.0, 1.0}
+    # masked positions zeroed
+    assert np.all(batch["x"][~batch["mask"]] == 0.0)
+
+
+def test_batcher_wrap_reshuffles():
+    arrays = {"x": np.arange(10)[:, None]}
+    b = Batcher(arrays, batch_size=4, seed=0)
+    seen = [next(b)["x"] for _ in range(6)]
+    assert all(s.shape == (4, 1) for s in seen)
+    assert b.steps_per_epoch == 2
+
+
+def test_moving_mnist_pipeline():
+    vids = synthetic_moving_mnist(20, t=6, size=64)
+    assert vids.shape == (6, 20, 64, 64)
+    ds = MovingMNIST(data=vids, batch_size=4)
+    batch = ds.data_batch("train")
+    assert batch["x"].shape == (4, 6, 64, 64, 1)
+    assert batch["times"].shape == (4, 6)
+    assert set(np.unique(batch["x"])) <= {0.0, 1.0}  # binarized
+    assert ds.splits["train"]["x"].shape[0] == 16
+    assert ds.splits["valid"]["x"].shape[0] == 2
+    assert ds.splits["test"]["x"].shape[0] == 2

@@ -1,0 +1,186 @@
+"""Model zoo: every prior/posterior/net combination builds, runs, and
+produces finite masked ELBOs; KL/NLL semantics cross-checked."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpvae_tpu import configs, elbo as elbo_lib
+from gpvae_tpu.models import GPVAE, GPVAEConfig
+
+
+def toy_batch(rng, b=4, t=9, d=15, masked=True):
+    x = (rng.random((b, t, d)) < 0.4).astype(np.float32)
+    times = np.sort(rng.uniform(0, 45, (b, t)), -1).astype(np.float32)
+    mask = np.ones((b, t), bool)
+    if masked:
+        mask[0, 6:] = False
+        mask[2, 4:] = False
+    x *= mask[..., None]
+    return (jnp.asarray(x), jnp.asarray(times), jnp.asarray(mask))
+
+
+DENSE_COMBOS = [
+    ("gp", "gp"),
+    ("gp", "diag"),
+    ("standard", "diag"),
+    ("standard", "gp_plus_diag"),
+    ("standard", "gp"),
+]
+
+
+@pytest.mark.parametrize("prior,posterior", DENSE_COMBOS)
+def test_dense_combos_finite(prior, posterior):
+    rng = np.random.default_rng(0)
+    x, times, mask = toy_batch(rng)
+    cfg = GPVAEConfig(
+        latent_dim=2, obs_dim=15, time_len=9,
+        prior=prior, posterior=posterior,
+        prior_lengthscales=(9.0, 3.0), posterior_lengthscales=(9.0, 3.0),
+        encoder="dense", decoder="dense", num_samples=2,
+    )
+    model = GPVAE(cfg)
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        x, times, mask,
+    )
+    out = model.apply(
+        params, x, times, mask, beta=0.5, rngs={"sample": jax.random.key(2)}
+    )
+    assert np.isfinite(float(out.loss))
+    assert out.latent_sample.shape == (2, 4, 9, 2)
+    assert np.all(np.isfinite(np.asarray(out.nll)))
+    assert np.all(np.isfinite(np.asarray(out.kl)))
+    if posterior != "gp" or prior != "standard":
+        assert np.all(np.asarray(out.kl) >= -1e-4), (prior, posterior)
+    # grads flow to every param
+    def loss_fn(p):
+        return model.apply(
+            p, x, times, mask, beta=0.5, rngs={"sample": jax.random.key(2)}
+        ).loss
+    grads = jax.grad(lambda p: loss_fn(p))(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_conv_model_runs():
+    rng = np.random.default_rng(1)
+    b, t = 2, 4
+    x = (rng.random((b, t, 64, 64, 1)) < 0.2).astype(np.float32)
+    times = np.broadcast_to(np.arange(t, dtype=np.float32), (b, t)).copy()
+    mask = np.ones((b, t), bool)
+    cfg = GPVAEConfig(
+        latent_dim=8, time_len=t, prior="gp", posterior="gp",
+        prior_lengthscales=(1.0,), posterior_lengthscales=(1.0,),
+        encoder="conv", decoder="conv", image_shape=(64, 64, 1),
+    )
+    model = GPVAE(cfg)
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.asarray(x), jnp.asarray(times), jnp.asarray(mask),
+    )
+    out = model.apply(
+        params, jnp.asarray(x), jnp.asarray(times), jnp.asarray(mask),
+        rngs={"sample": jax.random.key(2)},
+    )
+    assert out.logits.shape == (1, b, t, 64, 64, 1)
+    assert np.isfinite(float(out.loss))
+
+
+def test_masked_elbo_equals_truncated():
+    """Masked static-shape ELBO == ragged ELBO on the truncated sequence
+    (golden equivalence with the reference's per-sequence slicing)."""
+    rng = np.random.default_rng(2)
+    t_full, t_obs = 10, 6
+    x, times, _ = toy_batch(rng, b=1, t=t_full, masked=False)
+    mask = jnp.asarray((np.arange(t_full) < t_obs)[None])
+    x = x * mask[..., None]
+    cfg = GPVAEConfig(
+        latent_dim=2, obs_dim=15, time_len=t_full,
+        prior="gp", posterior="gp",
+        prior_lengthscales=(9.0, 3.0), posterior_lengthscales=(5.0, 2.0),
+    )
+    model = GPVAE(cfg)
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        x, times, mask,
+    )
+    out_m = model.apply(
+        params, x, times, mask, rngs={"sample": jax.random.key(3)}
+    )
+    cfg_s = dataclasses.replace(cfg, time_len=t_obs)
+    out_s = GPVAE(cfg_s).apply(
+        params, x[:, :t_obs], times[:, :t_obs], None,
+        rngs={"sample": jax.random.key(3)},
+    )
+    np.testing.assert_allclose(
+        float(out_m.kl[0]), float(out_s.kl[0]), rtol=1e-5
+    )
+    # NLL: PRNG draws differ between shapes, so compare decoding the SAME
+    # latent sample — the masked NLL must equal the truncated NLL exactly
+    from gpvae_tpu import elbo as _elbo
+    z_m = out_m.latent_sample
+    logits_m = model.apply(params, z_m, method="decode")
+    logits_s = model.apply(params, z_m[:, :, :t_obs], method="decode")
+    nll_m = _elbo.bernoulli_nll(logits_m, x, mask)
+    nll_s = _elbo.bernoulli_nll(logits_s, x[:, :t_obs], None)
+    np.testing.assert_allclose(
+        float(nll_m[0]), float(nll_s[0]), rtol=1e-6
+    )
+
+
+def test_bernoulli_nll_vs_reference_clamped_form():
+    rng = np.random.default_rng(3)
+    logits = rng.standard_normal((2, 3, 5, 7))
+    x = (rng.random((3, 5, 7)) < 0.5).astype(np.float64)
+    got = elbo_lib.bernoulli_nll(jnp.asarray(logits), jnp.asarray(x))
+    p = 1.0 / (1.0 + np.exp(-logits))
+    # reference form (src/Models/syndata/GP_VAE_syn_data.py:334-341)
+    ref = -(x[None] * np.log(p + 1e-10) + (1 - x[None]) * np.log(1 - p + 1e-10))
+    want = ref.sum(-1).sum(-1).mean(0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_beta_schedule_matches_reference():
+    # src/Models/syndata/GP_VAE_syn_data.py:344,361-364
+    sched = elbo_lib.BetaSchedule(init=1e-3, rate=1e-7, start_step=20_000)
+    assert float(sched(jnp.asarray(0))) == pytest.approx(1e-3)
+    assert float(sched(jnp.asarray(20_000))) == pytest.approx(1e-3)
+    assert float(sched(jnp.asarray(20_010))) == pytest.approx(1e-3 + 1e-6)
+    assert float(sched(jnp.asarray(100_000_000))) == 1.0
+
+
+def test_reference_recog_kl_parity_flag():
+    rng = np.random.default_rng(4)
+    x, times, mask = toy_batch(rng)
+    base = GPVAEConfig(
+        latent_dim=2, obs_dim=15, time_len=9,
+        prior="standard", posterior="gp_plus_diag",
+        posterior_lengthscales=(1.0, 1.0),
+    )
+    model_exact = GPVAE(base)
+    model_ref = GPVAE(dataclasses.replace(base, reference_recog_kl=True))
+    params = model_exact.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        x, times, mask,
+    )
+    kl_exact = model_exact.apply(
+        params, x, times, mask, rngs={"sample": jax.random.key(2)}
+    ).kl
+    kl_ref = model_ref.apply(
+        params, x, times, mask, rngs={"sample": jax.random.key(2)}
+    ).kl
+    # both finite, and they differ (the reference KL ignores correlations)
+    assert np.all(np.isfinite(np.asarray(kl_exact)))
+    assert np.all(np.isfinite(np.asarray(kl_ref)))
+    assert not np.allclose(np.asarray(kl_exact), np.asarray(kl_ref))
+
+
+def test_all_presets_construct():
+    for name in configs.PRESETS:
+        preset = configs.get(name)
+        assert preset.model.latent_dim > 0
+        GPVAE(preset.model)  # validates config
