@@ -132,15 +132,26 @@ def time_train(method: str, t: int = 45, batch: int = 20,
 
 def time_cholesky(t: int, n: int, reps: int = 10,
                   verbose: bool = False) -> float:
-    """Batched Cholesky+logdet TFLOP/s at size t (the BASELINE metric)."""
+    """Batched Cholesky+logdet TFLOP/s at size t (the BASELINE metric).
+
+    Inputs are RBF grams built on device (the framework's actual workload;
+    host-side PSD generation at these sizes costs minutes of numpy matmul).
+    """
     import jax
     import jax.numpy as jnp
+    from gpvae_tpu import kernels as kernels_lib
     from gpvae_tpu.ops import chol_logdet
 
     rng = np.random.default_rng(1)
-    a = rng.standard_normal((n, t, t)).astype(np.float32) / np.sqrt(t)
-    k = a @ np.swapaxes(a, -1, -2) + np.eye(t, dtype=np.float32)
-    kd = jnp.asarray(k)
+    times = jnp.asarray(
+        np.sort(rng.uniform(0, t, (n, t)), -1).astype(np.float32)
+    )
+    kd = jax.jit(
+        lambda tt: kernels_lib.gram_bank(
+            tt, jnp.array([5.0], jnp.float32), noise=1e-2
+        )[:, 0]
+    )(times)
+    kd.block_until_ready()
 
     @jax.jit
     def run(kd):
@@ -167,8 +178,8 @@ def main(verbose: bool = False):
     backend = jax.default_backend()
     sps_pallas = time_train("pallas", verbose=verbose)
     sps_xla = time_train("xla", verbose=verbose)
-    tflops_256 = time_cholesky(256, 64, verbose=verbose)
-    tflops_1024 = time_cholesky(1024, 16, reps=4, verbose=verbose)
+    tflops_256 = time_cholesky(256, 512, reps=6, verbose=verbose)
+    tflops_1024 = time_cholesky(1024, 128, reps=4, verbose=verbose)
     out = {
         "metric": "ELBO train steps/sec/chip (toy config B=20,T=45,Z=2)",
         "value": round(sps_pallas, 2),
@@ -177,8 +188,8 @@ def main(verbose: bool = False):
         "extra": {
             "backend": backend,
             "xla_path_steps_per_sec": round(sps_xla, 2),
-            "chol_logdet_tflops_T256_N64": round(tflops_256, 4),
-            "chol_logdet_tflops_T1024_N16": round(tflops_1024, 4),
+            "chol_logdet_tflops_T256_N512": round(tflops_256, 4),
+            "chol_logdet_tflops_T1024_N128": round(tflops_1024, 4),
         },
     }
     print(json.dumps(out))

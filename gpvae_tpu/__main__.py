@@ -1,0 +1,151 @@
+"""Command-line entry point: ``python -m gpvae_tpu <command>``.
+
+The reference has no CLI — every experiment is "edit the constants in this
+file and run it" (SURVEY.md §5 config; machine variants are whole-file
+copies).  Here the presets in configs.py drive everything:
+
+    python -m gpvae_tpu list-presets
+    python -m gpvae_tpu generate-data --out toy.npz --num-seqs 10000
+    python -m gpvae_tpu train --preset syn_data --steps 5000 \
+        --data toy.npz --ckpt-dir ./ckpt --csv losses.csv
+    python -m gpvae_tpu train --preset full_gp_dynamic --synthetic-mnist
+    python -m gpvae_tpu bench
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+import numpy as np
+
+
+def cmd_list_presets(_args):
+    from gpvae_tpu import configs
+
+    for name in sorted(configs.PRESETS):
+        p = configs.get(name)
+        print(f"{name:20s} batch={p.batch_size:<5d} {p.description}")
+
+
+def cmd_generate_data(args):
+    import jax
+    from gpvae_tpu.data import generate_toy_data
+
+    data = generate_toy_data(
+        jax.random.key(args.seed), args.num_seqs, t=args.time_len
+    )
+    np.savez(
+        args.out, **{k: np.asarray(v) for k, v in data.items()}
+    )
+    print(f"wrote {args.num_seqs} sequences to {args.out}")
+
+
+def _load_batches(args, preset):
+    """Build (train_batcher, eval_arrays) for the preset's data family."""
+    import jax
+    from gpvae_tpu.data import (
+        Batcher, MovingMNIST, generate_toy_data, synthetic_moving_mnist,
+        toy_to_masked_batch,
+    )
+
+    if preset.model.encoder == "conv":
+        h = preset.model.image_shape[0]
+        if args.data:
+            ds = MovingMNIST(args.data, batch_size=preset.batch_size)
+        else:
+            vids = synthetic_moving_mnist(
+                args.num_seqs, t=preset.model.time_len, size=h,
+                seed=args.seed,
+            )
+            ds = MovingMNIST(data=vids, batch_size=preset.batch_size)
+        return ds.batchers["train"], ds.splits.get("test")
+    if args.data:
+        loaded = dict(np.load(args.data))
+        batch = toy_to_masked_batch(loaded)
+    else:
+        data = generate_toy_data(
+            jax.random.key(args.seed), args.num_seqs,
+            t=preset.model.time_len,
+        )
+        batch = toy_to_masked_batch(
+            {k: np.asarray(v) for k, v in data.items()}
+        )
+    n_train = int(0.9 * batch["x"].shape[0])
+    train = {k: v[:n_train] for k, v in batch.items()}
+    test = {k: v[n_train:] for k, v in batch.items()}
+    return Batcher(train, preset.batch_size, seed=args.seed), test
+
+
+def cmd_train(args):
+    from gpvae_tpu import configs, train as train_lib
+    from gpvae_tpu.models import GPVAE
+
+    preset = configs.get(args.preset)
+    model_cfg = preset.model
+    if args.time_len:
+        model_cfg = dataclasses.replace(model_cfg, time_len=args.time_len)
+    train_cfg = preset.train
+    overrides = {}
+    if args.steps:
+        overrides["num_steps"] = args.steps
+    if args.ckpt_dir:
+        overrides["checkpoint_dir"] = args.ckpt_dir
+    if args.log_every:
+        overrides["log_every"] = args.log_every
+    if overrides:
+        train_cfg = dataclasses.replace(train_cfg, **overrides)
+
+    batches, _ = _load_batches(args, preset)
+    model = GPVAE(model_cfg)
+    state, log = train_lib.fit(
+        model, iter(batches), train_cfg, csv_path=args.csv,
+    )
+    final = log.rows[-1] if log.rows else {}
+    print(
+        f"done at step {int(state.step)}: "
+        f"loss={final.get('loss', float('nan')):.4f}"
+    )
+
+
+def cmd_bench(_args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="gpvae_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("list-presets").set_defaults(fn=cmd_list_presets)
+
+    g = sub.add_parser("generate-data")
+    g.add_argument("--out", required=True)
+    g.add_argument("--num-seqs", type=int, default=10_000)
+    g.add_argument("--time-len", type=int, default=45)
+    g.add_argument("--seed", type=int, default=0)
+    g.set_defaults(fn=cmd_generate_data)
+
+    t = sub.add_parser("train")
+    t.add_argument("--preset", required=True)
+    t.add_argument("--data", help=".npz toy data or MovingMNIST .npy")
+    t.add_argument("--num-seqs", type=int, default=512,
+                   help="synthetic sequences when --data is absent")
+    t.add_argument("--steps", type=int)
+    t.add_argument("--time-len", type=int)
+    t.add_argument("--ckpt-dir")
+    t.add_argument("--csv")
+    t.add_argument("--log-every", type=int)
+    t.add_argument("--seed", type=int, default=0)
+    t.set_defaults(fn=cmd_train)
+
+    b = sub.add_parser("bench")
+    b.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

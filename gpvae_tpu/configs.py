@@ -31,6 +31,9 @@ _MNIST_CONV = dict(
     obs_dim=64 * 64, time_len=20, encoder="conv", decoder="conv",
     image_shape=(64, 64, 1), latent_dim=100,
 )
+# fixed 0..19 grid -> factor each latent's gram once per step and share it
+# across the batch (the reference tiles one gram, Full_GP_VAE_fixed:99)
+_MNIST_CONV_FIXED = dict(_MNIST_CONV, shared_time_grid=True)
 # Reference MNIST batch = 5 sequences (= 100 frames),
 # src/Models/Full_GP_VAE_dynamic_time.py:311-318
 _MNIST_TRAIN = TrainConfig(
@@ -63,7 +66,7 @@ register(_p(
     GPVAEConfig(
         prior="gp", posterior="diag",
         prior_lengthscales=(1.0,), learn_prior_lengthscales=False,
-        **_MNIST_CONV,
+        **_MNIST_CONV_FIXED,
     ),
     _MNIST_TRAIN, batch_size=5,
     description="GP prior + diagonal posterior (src/Models/VAE_GPprior_diag_cov.py)",
@@ -74,7 +77,7 @@ register(_p(
         prior="gp", posterior="gp",
         prior_lengthscales=(1.0,), learn_prior_lengthscales=True,
         posterior_lengthscales=(1.0,), learn_posterior_lengthscales=True,
-        **_MNIST_CONV,
+        **_MNIST_CONV_FIXED,
     ),
     _MNIST_TRAIN, batch_size=5,
     description="Full GP prior+posterior, fixed times 1..20 "
@@ -139,6 +142,37 @@ register(_p(
 
 # --- BASELINE.json benchmark configs ---------------------------------------
 
+register(_p(
+    "healing_mnist",
+    GPVAEConfig(
+        latent_dim=64, obs_dim=28 * 28, time_len=10,
+        prior="gp", posterior="gp", kernel="cauchy",
+        prior_lengthscales=(2.0,), learn_prior_lengthscales=False,
+        posterior_lengthscales=(2.0,), learn_posterior_lengthscales=True,
+        encoder="conv", decoder="conv", image_shape=(28, 28, 1),
+        shared_time_grid=True,
+    ),
+    TrainConfig(num_steps=100_000, beta=elbo_lib.BetaSchedule(
+        init=1e-3, rate=1e-6, start_step=10_000)),
+    batch_size=64,
+    description="BASELINE config 2: healing-MNIST-style missing-pixel "
+    "imputation, Cauchy kernel, short sequences (the GP-VAE paper's "
+    "benchmark; the reference repo itself has no healing-MNIST script)",
+))
+register(_p(
+    "sparse_t4096",
+    GPVAEConfig(
+        latent_dim=8, obs_dim=15, time_len=4096,
+        prior="sparse_gp", posterior="diag",
+        prior_lengthscales=(256.0,), learn_prior_lengthscales=False,
+        num_inducing=64, inducing_time_range=(0.0, 4096.0),
+        encoder="dense", decoder="dense",
+    ),
+    TrainConfig(num_steps=100_000, beta=_TOY_BETA),
+    batch_size=8,
+    description="BASELINE config 4: T=4096 sequences under an m=64 "
+    "inducing-point (FITC) GP prior — O(T m^2) KL",
+))
 register(_p(
     "bench_t100",
     GPVAEConfig(

@@ -141,18 +141,29 @@ def gp_kl(
 
     * ``mu``  ``[B, T, Z]`` posterior means (masked rows zero),
     * ``l_q``/``l_p`` ``[B, Z, T, T]`` Cholesky factors.
+
+    Factors with a leading batch dim of 1 (``[1, Z, T, T]``) are treated as
+    *shared across the batch* — the reference's fixed-time models tile one
+    gram over all sequences (src/Models/Full_GP_VAE_fixed_for_MovMnist.py:99);
+    here the O(T^3) trace/logdet terms are computed once and broadcast, and
+    only the O(T^2) per-sequence quad term runs at full batch.
     """
     if mask is not None:
         mu = mu * mask.astype(mu.dtype)[..., None]
-    t = mu.shape[-2]
+    b, t = mu.shape[0], mu.shape[-2]
     a = solve_triangular(l_p, l_q)                    # L_p^{-1} L_q
-    tr = jnp.sum(a * a, axis=(-2, -1))                # [B, Z]
+    tr = jnp.sum(a * a, axis=(-2, -1))                # [B or 1, Z]
     mu_bz = jnp.swapaxes(mu, -1, -2)[..., None]       # [B, Z, T, 1]
-    v = solve_triangular(l_p, mu_bz)
+    l_p_full = (
+        jnp.broadcast_to(l_p, (b,) + l_p.shape[1:])
+        if l_p.shape[0] == 1 and b > 1 else l_p
+    )
+    v = solve_triangular(l_p_full, mu_bz)
     quad = jnp.sum(v * v, axis=(-2, -1))
     ld_p = logdet_from_chol(l_p)
     ld_q = logdet_from_chol(l_q)
-    return 0.5 * (tr + quad - t + ld_p - ld_q)
+    return 0.5 * (jnp.broadcast_to(tr, quad.shape) + quad - t
+                  + jnp.broadcast_to(ld_p - ld_q, quad.shape))
 
 
 def gp_prior_diag_kl(
@@ -176,18 +187,27 @@ def gp_prior_diag_kl(
         m = mask.astype(mu.dtype)[..., None]
         mu = mu * m
         log_var = log_var * m  # masked -> log v = 0 -> v = 1
-    t, z = mu.shape[-2], mu.shape[-1]
+    b, t = mu.shape[0], mu.shape[-2]
     eye = jnp.broadcast_to(jnp.eye(t, dtype=l_p.dtype), l_p.shape)
-    w = solve_triangular(l_p, eye)                    # [B, Z, T, T]
-    dinv = jnp.sum(w * w, axis=-2)                    # diag(K^{-1}) [B, Z, T]
+    w = solve_triangular(l_p, eye)                    # [B or 1, Z, T, T]
+    dinv = jnp.sum(w * w, axis=-2)                    # diag(K^{-1})
     v_bz = jnp.swapaxes(jnp.exp(log_var), -1, -2)     # [B, Z, T]
-    tr = jnp.sum(dinv * v_bz, axis=-1)
+    tr = jnp.sum(jnp.broadcast_to(
+        dinv, v_bz.shape[:1] + dinv.shape[1:]
+    ) * v_bz, axis=-1) if dinv.shape[0] == 1 and b > 1 else jnp.sum(
+        dinv * v_bz, axis=-1
+    )
     mu_bz = jnp.swapaxes(mu, -1, -2)[..., None]
-    y = solve_triangular(l_p, mu_bz)
+    l_p_full = (
+        jnp.broadcast_to(l_p, (b,) + l_p.shape[1:])
+        if l_p.shape[0] == 1 and b > 1 else l_p
+    )
+    y = solve_triangular(l_p_full, mu_bz)
     quad = jnp.sum(y * y, axis=(-2, -1))
     ld_p = logdet_from_chol(l_p)
     sum_log_v = jnp.sum(jnp.swapaxes(log_var, -1, -2), axis=-1)
-    return 0.5 * (tr + quad - t + ld_p - sum_log_v)
+    return 0.5 * (tr + quad - t + jnp.broadcast_to(ld_p, tr.shape)
+                  - sum_log_v)
 
 
 def standard_kl(
@@ -266,12 +286,20 @@ def gp_sample(
     src/Models/syndata/GP_VAE_syn_data.py:147-166).  Noise comes from an
     explicit key — the reference's in-graph ``tf.random_normal`` re-draws on
     every fetch (SURVEY.md §3.4), which explicit keys make impossible.
+    ``l_q`` with leading dim 1 is shared across the batch (fixed-time grid).
     """
-    b, z, t, _ = l_q.shape
+    b = mu.shape[0]
+    _, z, t, _ = l_q.shape
     eps = jax.random.normal(key, (num_samples, b, z, t), dtype=mu.dtype)
-    corr = jnp.einsum(
-        "bzij,sbzj->sbiz", l_q, eps, preferred_element_type=jnp.float32
-    )
+    if l_q.shape[0] == 1 and b > 1:
+        corr = jnp.einsum(
+            "zij,sbzj->sbiz", l_q[0], eps,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        corr = jnp.einsum(
+            "bzij,sbzj->sbiz", l_q, eps, preferred_element_type=jnp.float32
+        )
     out = mu[None] + corr
     if mask is not None:
         out = out * mask.astype(out.dtype)[None, :, :, None]

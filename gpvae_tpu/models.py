@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from gpvae_tpu import elbo as elbo_lib
 from gpvae_tpu import gp, nets
 
-PRIORS = ("standard", "gp")
+PRIORS = ("standard", "gp", "sparse_gp")
 POSTERIORS = ("diag", "gp", "gp_plus_diag")
 NETS = ("dense", "conv")
 
@@ -65,6 +65,14 @@ class GPVAEConfig:
     learn_posterior_lengthscales: bool = True
     num_samples: int = 1
     reference_recog_kl: bool = False
+    # fixed/uniform time grids: factor each latent's gram ONCE and share it
+    # across the batch (the reference fixed-time models tile one gram,
+    # src/Models/Full_GP_VAE_fixed_for_MovMnist.py:99) — requires all
+    # sequences to share `times` row 0 and a full mask
+    shared_time_grid: bool = False
+    # sparse inducing-point (FITC) prior for long sequences (sparse.py)
+    num_inducing: int = 64
+    inducing_time_range: tuple[float, float] | None = None
 
     def __post_init__(self):
         if self.prior not in PRIORS:
@@ -78,6 +86,16 @@ class GPVAEConfig:
                 "gp_plus_diag posterior pairs with the standard prior "
                 "(reference GP_recog_VAE_prior.py)"
             )
+        if self.prior == "sparse_gp":
+            if self.posterior != "diag":
+                raise ValueError(
+                    "sparse_gp prior requires a diagonal posterior (the "
+                    "full-GP posterior is itself O(T^3))"
+                )
+            if self.inducing_time_range is None:
+                raise ValueError(
+                    "sparse_gp prior needs inducing_time_range=(t0, t1)"
+                )
 
     def _ls_tuple(self, raw: tuple[float, ...]) -> tuple[float, ...]:
         if len(raw) == 1:
@@ -94,7 +112,10 @@ class GPVAEConfig:
 
     @property
     def needs_times(self) -> bool:
-        return self.prior == "gp" or self.posterior in ("gp", "gp_plus_diag")
+        return (
+            self.prior in ("gp", "sparse_gp")
+            or self.posterior in ("gp", "gp_plus_diag")
+        )
 
 
 @dataclasses.dataclass
@@ -136,20 +157,20 @@ class GPVAE(nn.Module):
         else:
             self.decoder_net = nets.ConvDecoder(c.image_shape)
 
-        q_init = jnp.log(jnp.asarray(
-            c._ls_tuple(c.posterior_lengthscales), jnp.float32
-        ))
-        p_init = jnp.log(jnp.asarray(
-            c._ls_tuple(c.prior_lengthscales), jnp.float32
-        ))
         if c.posterior in ("gp", "gp_plus_diag"):
+            q_init = jnp.log(jnp.asarray(
+                c._ls_tuple(c.posterior_lengthscales), jnp.float32
+            ))
             if c.learn_posterior_lengthscales:
                 self.posterior_log_ls = self.param(
                     "posterior_log_ls", lambda _: q_init
                 )
             else:
                 self.posterior_log_ls = q_init
-        if c.prior == "gp":
+        if c.prior in ("gp", "sparse_gp"):
+            p_init = jnp.log(jnp.asarray(
+                c._ls_tuple(c.prior_lengthscales), jnp.float32
+            ))
             if c.learn_prior_lengthscales:
                 self.prior_log_ls = self.param(
                     "prior_log_ls", lambda _: p_init
@@ -181,17 +202,31 @@ class GPVAE(nn.Module):
         logits = self.decoder_net(flat)
         return logits.reshape(lead + logits.shape[1:])
 
+    def _grid(self, times, mask):
+        """With shared_time_grid, factor one gram bank (leading dim 1) and
+        let gp.* broadcast it over the batch."""
+        if self.config.shared_time_grid:
+            return times[:1], None
+        return times, mask
+
     def posterior_chol(self, times, mask):
+        times, mask = self._grid(times, mask)
         return gp.chol_gram_bank(
             times, jnp.exp(self.posterior_log_ls), mask=mask,
             kernel=self.config.kernel, noise=self.config.noise,
         )
 
     def prior_chol(self, times, mask):
+        times, mask = self._grid(times, mask)
         return gp.chol_gram_bank(
             times, jnp.exp(self.prior_log_ls), mask=mask,
             kernel=self.config.kernel, noise=self.config.noise,
         )
+
+    def inducing_times(self):
+        c = self.config
+        lo, hi = c.inducing_time_range
+        return jnp.linspace(lo, hi, c.num_inducing)
 
     def sample_posterior(self, x, times, mask, num_samples):
         """Encode + reparameterized draw -> (z [S,B,T,Z], mean, aux)."""
@@ -221,6 +256,14 @@ class GPVAE(nn.Module):
     def kl(self, mean, log_var, times, mask, aux):
         """Per-sequence KL [B] for the configured prior/posterior pair."""
         c = self.config
+        if c.prior == "sparse_gp":
+            from gpvae_tpu import sparse
+            kl_bz = sparse.fitc_diag_kl(
+                mean, log_var, times, self.inducing_times(),
+                jnp.exp(self.prior_log_ls), mask=mask, kernel=c.kernel,
+                noise=c.noise,
+            )
+            return jnp.sum(kl_bz, axis=-1)
         if c.prior == "gp":
             l_p = self.prior_chol(times, mask)
             if c.posterior == "gp":

@@ -112,20 +112,38 @@ class ConvEncoder(nn.Module):
 
 
 class ConvDecoder(nn.Module):
-    """Z -> dense 512 -> 1x1x512 -> six stride-2 transposed convs -> 64x64
-    logits (reference src/Models/Full_GP_VAE_dynamic_time.py:262-292)."""
+    """Z -> dense -> h0 x h0 seed -> stride-2 transposed convs -> H x W
+    logits (reference src/Models/Full_GP_VAE_dynamic_time.py:262-292).
+
+    For the reference's 64x64 frames this is exactly its architecture
+    (1x1x512 seed, six doublings).  Non-power-of-two sizes (e.g. 28x28
+    healing-MNIST) seed at the largest odd divisor (7x7) and double from
+    there."""
     image_shape: tuple[int, int, int] = (64, 64, 1)
     features: Sequence[int] = tuple(reversed(CONV_FEATURES))
 
     @nn.compact
     def __call__(self, z):
+        h_dim = self.image_shape[0]
+        # number of stride-2 doublings: 2-adic valuation, capped at the
+        # reference's six layers; seed spatial size is what remains
+        k = 0
+        seed = h_dim
+        while seed % 2 == 0 and k < len(self.features):
+            seed //= 2
+            k += 1
+        feats = self.features[len(self.features) - k:] or (self.features[-1],)
         h = nn.relu(
             nn.Dense(
-                self.features[0], kernel_init=_W_INIT, bias_init=_B_INIT
+                seed * seed * self.features[len(self.features) - k - 1]
+                if k < len(self.features)
+                else self.features[0],
+                kernel_init=_W_INIT, bias_init=_B_INIT,
             )(z)
         )
-        h = h.reshape((h.shape[0], 1, 1, self.features[0]))
-        for feat in self.features[1:]:
+        c0 = h.shape[-1] // (seed * seed)
+        h = h.reshape((h.shape[0], seed, seed, c0))
+        for feat in feats[1:] if k == len(self.features) else feats:
             h = nn.relu(
                 nn.ConvTranspose(
                     feat, kernel_size=(3, 3), strides=(2, 2), padding="SAME",
@@ -133,7 +151,8 @@ class ConvDecoder(nn.Module):
                 )(h)
             )
         h = nn.ConvTranspose(
-            self.image_shape[-1], kernel_size=(3, 3), strides=(2, 2),
+            self.image_shape[-1], kernel_size=(3, 3),
+            strides=(2, 2) if k == len(self.features) else (1, 1),
             padding="SAME", kernel_init=_W_INIT, bias_init=_B_INIT,
             name="logits_head",
         )(h)

@@ -30,7 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from gpvae_tpu.ops import pallas_chol
+from gpvae_tpu.ops import pallas_chol, pallas_tri
 from gpvae_tpu.ops.trsm import solve_triangular
 
 
@@ -50,14 +50,22 @@ def _chol_diag_block(d: jnp.ndarray) -> jnp.ndarray:
     return cholesky_xla(d)
 
 
-def cholesky_blocked(k: jnp.ndarray, block_size: int = 128) -> jnp.ndarray:
+def cholesky_blocked(
+    k: jnp.ndarray,
+    block_size: int = 64,
+    *,
+    panel_via_inverse: bool = True,
+) -> jnp.ndarray:
     """Blocked right-looking batched Cholesky for ``k [N, T, T]``, large T.
 
     Each block step: (1) factor all matrices' diagonal blocks with the
-    lane-batched kernel (batch = N, fully vectorized), (2) panel solve
-    ``X = P L_d^{-T}`` (batched trsm), (3) trailing update
-    ``S -= X X^T`` (batched MXU matmul).  The Python loop is unrolled at
-    trace time; every shape is static.
+    lane-batched kernel (batch = N, fully vectorized), (2) invert the
+    diagonal blocks with the lane-batched triangular-inverse kernel so the
+    panel ``X = P L_d^{-T}`` is a *pure batched MXU matmul* (the MAGMA-style
+    split; XLA's triangular_solve is a sequential-substitution fallback via
+    ``panel_via_inverse=False``), (3) trailing update ``S -= X X^T``
+    (batched MXU matmul).  The Python loop is unrolled at trace time; every
+    shape is static.
     """
     n, t, _ = k.shape
     nb = min(block_size, pallas_chol.LANE_BATCH_MAX_T)
@@ -78,9 +86,17 @@ def cholesky_blocked(k: jnp.ndarray, block_size: int = 128) -> jnp.ndarray:
         ld = _chol_diag_block(d)                              # [N, nb, nb]
         rest = s[:, nb:, :nb]                                 # [N, R-nb, nb]
         # X L_d^T = rest  =>  X = rest L_d^{-T}
-        x = solve_triangular(
-            ld, rest, left_side=False, lower=True, transpose_a=True
-        )
+        if panel_via_inverse and jax.default_backend() == "tpu":
+            ld_inv = pallas_tri.tri_inv_small_batched(ld)
+            x = jnp.einsum(
+                "nrk,njk->nrj", rest, ld_inv,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            x = solve_triangular(
+                ld, rest, left_side=False, lower=True, transpose_a=True
+            )
         col = jnp.concatenate([ld, x], axis=1)                # [N, R, nb]
         col_blocks.append(col)
         if b < num_blocks - 1:

@@ -1,0 +1,47 @@
+"""CLI: list-presets, generate-data, a tiny train run.
+
+Invoked in-process (the argparse ``main(argv)`` entry) — a subprocess would
+re-pay this image's TPU-tunnel cold start per call and cannot force the CPU
+backend via env (the sitecustomize overrides it).
+"""
+import numpy as np
+
+from gpvae_tpu.__main__ import main
+
+
+def test_list_presets(capsys):
+    main(["list-presets"])
+    out = capsys.readouterr().out
+    assert "syn_data" in out
+    assert "full_gp_dynamic" in out
+    assert "sparse_t4096" in out
+
+
+def test_generate_and_train(tmp_path, capsys):
+    data_path = str(tmp_path / "toy.npz")
+    main([
+        "generate-data", "--out", data_path, "--num-seqs", "32",
+        "--time-len", "12",
+    ])
+    loaded = dict(np.load(data_path))
+    assert loaded["x"].shape == (32, 12, 15)
+
+    main([
+        "train", "--preset", "syn_data", "--data", data_path,
+        "--time-len", "12", "--steps", "30", "--log-every", "15",
+        "--csv", str(tmp_path / "loss.csv"),
+    ])
+    out = capsys.readouterr().out
+    assert "done at step 30" in out
+    csv = open(tmp_path / "loss.csv").read().splitlines()
+    assert csv[0] == "step,loss,nll,kl,beta"
+    assert len(csv) >= 3
+
+
+def test_train_conv_synthetic_mnist(tmp_path, capsys):
+    main([
+        "train", "--preset", "full_gp_dynamic", "--num-seqs", "8",
+        "--time-len", "4", "--steps", "2", "--log-every", "1",
+    ])
+    out = capsys.readouterr().out
+    assert "done at step 2" in out
