@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from gpvae_tpu.data import native
+
 
 class Batcher:
     """Cycles over ``arrays`` (dict of same-leading-dim numpy arrays) in
@@ -43,7 +45,13 @@ class Batcher:
             self._pos = 0
         idx = self._order[self._pos:self._pos + self.batch_size]
         self._pos += self.batch_size
-        return {k: v[idx] for k, v in self.arrays.items()}
+        out = {}
+        for k, v in self.arrays.items():
+            if v.dtype == np.float32 and native.have_native():
+                out[k] = native.gather_batch(v, idx)  # threaded C++ gather
+            else:
+                out[k] = v[idx]
+        return out
 
     @property
     def steps_per_epoch(self) -> int:

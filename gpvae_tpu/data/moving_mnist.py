@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from gpvae_tpu.data import native
 from gpvae_tpu.data.batching import Batcher
 
 BINARIZE_THRESHOLD = 0.498  # src/Models/DataHandler.py:68-70
@@ -69,10 +70,15 @@ class MovingMNIST:
             if path is None:
                 raise ValueError("need path or data")
             data = np.load(path)  # (T, N, 64, 64) uint8
-            data = data.astype(np.float32) / 255.0  # :78
+            if binarize:
+                # fused /255 + threshold in the C++ runtime (:68-78)
+                data = native.binarize(data, BINARIZE_THRESHOLD)
+                binarize = False
+            else:
+                data = data.astype(np.float32) / 255.0  # :78
         data = np.asarray(data, np.float32)
         if binarize:
-            data = (data >= BINARIZE_THRESHOLD).astype(np.float32)
+            data = native.binarize(data, BINARIZE_THRESHOLD)
         t, n = data.shape[:2]
         self.t = t
         x = np.moveaxis(data, 0, 1)[..., None]  # [N, T, H, W, 1]

@@ -113,13 +113,16 @@ def toy_to_masked_batch(data: dict) -> dict:
         # reference pickle layout [N, obs_dim, T]
         x = np.swapaxes(x, 1, 2)
     n, t, _ = x.shape
-    mask = np.asarray(
-        data["mask"] if "mask" in data else (x[..., 0] > -1.0)
-    )
     times = np.broadcast_to(
         np.asarray(data["time"]).reshape(-1)[:t], (n, t)
     ).copy()
-    x_clean = np.where(mask[..., None], x, 0.0).astype(np.float32)
+    if "mask" in data:
+        mask = np.asarray(data["mask"])
+        x_clean = np.where(mask[..., None], x, 0.0).astype(np.float32)
+    else:
+        # sentinel-format reference pickle: C++ ragged packer
+        from gpvae_tpu.data import native
+        x_clean, mask, _ = native.pack_ragged(x.astype(np.float32))
     return {
         "x": x_clean,
         "times": times.astype(np.float32),
