@@ -108,6 +108,76 @@ def cmd_train(args):
     )
 
 
+def cmd_evaluate(args):
+    """Restore a checkpoint and run the imputation benchmark (+ optional
+    plot artifacts) — the reference's analysis-script workflow
+    (SURVEY.md §3.4) as one command."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from gpvae_tpu import analysis, configs, train as train_lib
+    from gpvae_tpu.models import GPVAE
+
+    preset = configs.get(args.preset)
+    model_cfg = preset.model
+    if args.time_len:
+        model_cfg = dataclasses.replace(model_cfg, time_len=args.time_len)
+    model = GPVAE(model_cfg)
+    _, test = _load_batches(args, preset)
+    batch = {k: v[: args.eval_batch] for k, v in test.items()}
+
+    state, tx = train_lib.create_train_state(
+        model, batch, train_lib.TrainConfig()
+    )
+    if args.ckpt_dir:
+        mgr = train_lib.CheckpointManager(args.ckpt_dir)
+        restored = mgr.restore_latest(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found in {args.ckpt_dir}")
+        state = restored
+        print(f"restored step {int(state.step)}")
+
+    x = jnp.asarray(batch["x"])
+    times = jnp.asarray(batch["times"], jnp.float32)
+    mask = jnp.asarray(batch["mask"])
+    metrics = analysis.imputation_metrics(
+        model, state.params, x, times, mask,
+        key=jax.random.key(args.seed), drop_fraction=args.drop_fraction,
+    )
+    print(json.dumps(metrics))
+
+    if args.plots:
+        import os
+
+        from gpvae_tpu.utils import plotting
+
+        os.makedirs(args.plots, exist_ok=True)
+        kept = analysis.drop_timesteps(
+            jax.random.key(args.seed), mask, args.drop_fraction
+        )
+        probs, z_imp, _ = analysis.impute(
+            model, state.params, x, times, mask, kept,
+            key=jax.random.key(args.seed + 1),
+        )
+        if model_cfg.decoder == "conv":
+            plotting.comparison_grid(
+                {
+                    "input": np.asarray(x[0]),
+                    "imputed": np.asarray(probs[0]),
+                },
+                os.path.join(args.plots, "imputation.png"),
+                kept_mask=np.asarray(kept[0]),
+            )
+        plotting.trajectory_plot(
+            np.asarray(times[0]), np.asarray(z_imp[0]),
+            os.path.join(args.plots, "latents.png"),
+            mask=np.asarray(kept[0]),
+        )
+        print(f"plots written to {args.plots}")
+
+
 def cmd_bench(_args):
     import bench
 
@@ -139,6 +209,18 @@ def main(argv=None):
     t.add_argument("--log-every", type=int)
     t.add_argument("--seed", type=int, default=0)
     t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("evaluate")
+    e.add_argument("--preset", required=True)
+    e.add_argument("--ckpt-dir")
+    e.add_argument("--data")
+    e.add_argument("--num-seqs", type=int, default=128)
+    e.add_argument("--time-len", type=int)
+    e.add_argument("--eval-batch", type=int, default=16)
+    e.add_argument("--drop-fraction", type=float, default=0.5)
+    e.add_argument("--plots", help="directory for PNG artifacts")
+    e.add_argument("--seed", type=int, default=0)
+    e.set_defaults(fn=cmd_evaluate)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=cmd_bench)

@@ -201,6 +201,57 @@ def activation_stats(
     return mc_mean, var[order]
 
 
+def imputation_metrics(
+    model: GPVAE,
+    params,
+    x,
+    times,
+    mask,
+    *,
+    key,
+    drop_fraction: float = 0.5,
+) -> dict:
+    """Quantitative imputation evaluation (the north-star "synthetic
+    imputation" workload, BASELINE.json): drop a fraction of observed
+    timesteps, GP-impute their latents, decode, and score the reconstruction
+    against the held-out ground truth on exactly the dropped steps.
+
+    Returns per-element Bernoulli NLL and MSE on dropped steps, with the
+    N(0,1)-fill VAE baseline (reference ``drop_sample_VAE_prior``) for
+    models with a standard prior as ``*_baseline``.
+    """
+    k_drop, k_imp, k_base = jax.random.split(key, 3)
+    kept = drop_timesteps(k_drop, mask, drop_fraction)
+    dropped = mask & ~kept
+
+    def score(probs):
+        p = jnp.clip(probs, 1e-6, 1.0 - 1e-6)
+        nll = -(x * jnp.log(p) + (1.0 - x) * jnp.log1p(-p))
+        mse = (probs - x) ** 2
+        # mean over the dropped elements only
+        w = dropped[(...,) + (None,) * (nll.ndim - 2)].astype(p.dtype)
+        denom = jnp.maximum((w * jnp.ones_like(nll)).sum(), 1.0)
+        return (
+            float((nll * w).sum() / denom),
+            float((mse * w).sum() / denom),
+        )
+
+    probs_gp, _, _ = impute(
+        model, params, x, times, mask, kept, key=k_imp
+    )
+    nll_gp, mse_gp = score(probs_gp)
+    out = {
+        "dropped_steps": int(np.asarray(dropped).sum()),
+        "nll_gp_impute": nll_gp,
+        "mse_gp_impute": mse_gp,
+    }
+    probs_base, _ = impute_vae_prior(model, params, x, kept, key=k_base)
+    nll_b, mse_b = score(probs_base)
+    out["nll_baseline"] = nll_b
+    out["mse_baseline"] = mse_b
+    return out
+
+
 def _param_or_const(model: GPVAE, params, name: str, cfg):
     if name in params:
         return params[name]

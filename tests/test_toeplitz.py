@@ -1,0 +1,81 @@
+"""Toeplitz structured path vs dense fp64 oracles."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpvae_tpu import kernels, toeplitz
+
+
+def make_row(t, ls, noise=1e-3, dtype=np.float64):
+    return np.asarray(
+        kernels.toeplitz_row(t, 1.0, jnp.array([ls]), noise=noise,
+                             dtype=dtype)
+    )[0]
+
+
+@pytest.mark.parametrize("t,ls", [(16, 2.0), (64, 3.0), (256, 5.0)])
+def test_durbin_logdet_vs_dense(t, ls):
+    row = make_row(t, ls)
+    dense = np.asarray(kernels.toeplitz_to_dense(jnp.asarray(row)))
+    want = np.linalg.slogdet(dense)[1]
+    got = float(toeplitz.durbin_logdet(jnp.asarray(row)))
+    assert abs(got - want) < 1e-6 * max(1.0, abs(want)), (got, want)
+
+
+def test_durbin_logdet_batched():
+    rows = jnp.stack(
+        [jnp.asarray(make_row(32, ls)) for ls in (1.0, 3.0, 9.0)]
+    )
+    got = toeplitz.durbin_logdet(rows)
+    assert got.shape == (3,)
+    for i, ls in enumerate((1.0, 3.0, 9.0)):
+        dense = np.asarray(kernels.toeplitz_to_dense(rows[i]))
+        want = np.linalg.slogdet(dense)[1]
+        assert abs(float(got[i]) - want) < 1e-6 * max(1.0, abs(want))
+
+
+@pytest.mark.parametrize("t,ls", [(16, 2.0), (48, 4.0)])
+def test_levinson_solve_vs_dense(t, ls):
+    rng = np.random.default_rng(0)
+    row = make_row(t, ls)
+    dense = np.asarray(kernels.toeplitz_to_dense(jnp.asarray(row)))
+    b = rng.standard_normal(t)
+    want = np.linalg.solve(dense, b)
+    got = np.asarray(toeplitz.levinson_solve(jnp.asarray(row), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_levinson_solve_batched_rhs():
+    rng = np.random.default_rng(1)
+    t = 24
+    row = make_row(t, 3.0)
+    dense = np.asarray(kernels.toeplitz_to_dense(jnp.asarray(row)))
+    b = rng.standard_normal((5, t))
+    got = np.asarray(toeplitz.levinson_solve(jnp.asarray(row), jnp.asarray(b)))
+    want = np.linalg.solve(dense, b.T).T
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_circulant_prior_sample_covariance():
+    # empirical covariance of FFT draws matches the dense Toeplitz gram
+    t = 24
+    row = jnp.stack([
+        jnp.asarray(make_row(t, 3.0, dtype=np.float64)),
+    ])
+    zs = toeplitz.circulant_prior_sample(jax.random.key(0), row, 30000)
+    zs = np.asarray(zs)[:, 0, :]
+    emp = np.cov(zs.T)
+    dense = np.asarray(kernels.toeplitz_to_dense(row[0]))
+    assert np.abs(emp - dense).max() < 0.08
+
+
+def test_durbin_logdet_long_sequence():
+    # T=1024 regime (BASELINE config 3): O(T^2) logdet stays finite and
+    # matches dense slogdet
+    t = 1024
+    row = make_row(t, 16.0, noise=1e-2)
+    got = float(toeplitz.durbin_logdet(jnp.asarray(row)))
+    dense = np.asarray(kernels.toeplitz_to_dense(jnp.asarray(row)))
+    want = np.linalg.slogdet(dense)[1]
+    assert abs(got - want) / abs(want) < 1e-6
