@@ -13,13 +13,60 @@ Cholesky+logdet TFLOP/s at T=256/1024).
 
 Steps are timed device-side (a lax.scan of train steps over pre-staged
 batches) so tunnel dispatch latency does not pollute chip throughput.
+
+Timing methodology: on this image the device is remote (axon tunnel) and
+``block_until_ready`` does NOT wait for execution — only a host transfer
+does.  All timings therefore sync via ``float(...)`` on a scalar consuming
+the full result, subtract the measured tiny-op roundtrip latency, and report
+the median of three runs.
 """
 from __future__ import annotations
 
 import json
+import statistics
 import time
 
 import numpy as np
+
+_LATENCY = None
+
+
+def host_roundtrip_latency() -> float:
+    """Median host<->device roundtrip for a tiny op (the timing overhead to
+    subtract; ~28 ms through the axon tunnel)."""
+    global _LATENCY
+    if _LATENCY is not None:
+        return _LATENCY
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((8, 128), jnp.float32)
+    tiny = jax.jit(jnp.sum)
+    float(tiny(a))
+    samples = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        float(tiny(a))
+        samples.append(time.perf_counter() - t0)
+    _LATENCY = statistics.median(samples)
+    return _LATENCY
+
+
+def timed_median(run_once, reps: int, *, outer: int = 3) -> float:
+    """Median over ``outer`` trials of (reps executions + one host sync -
+    roundtrip latency) / reps.  ``run_once()`` must return a device scalar
+    that depends on the full computation."""
+    float(run_once())  # warm + settle
+    lat = host_roundtrip_latency()
+    trials = []
+    for _ in range(outer):
+        t0 = time.perf_counter()
+        v = None
+        for _ in range(reps):
+            v = run_once()
+        float(v)
+        trials.append(max(time.perf_counter() - t0 - lat, 1e-9) / reps)
+    return statistics.median(trials)
 
 
 def _chol_bank(method: str):
@@ -117,17 +164,21 @@ def time_train(method: str, t: int = 45, batch: int = 20,
     }
     t0 = time.perf_counter()
     state, loss = run_chunk(state, stacked)  # compile + warm
-    jax.block_until_ready(loss)
+    assert np.isfinite(float(loss)), "non-finite training loss in bench"
     if verbose:
         print(f"[bench] {method} compile+warm {time.perf_counter()-t0:.1f}s",
               flush=True)
-    t0 = time.perf_counter()
-    for _ in range(n_rounds):
-        state, loss = run_chunk(state, stacked)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    assert np.isfinite(float(loss)), "non-finite training loss in bench"
-    return n_rounds * n_stack / dt
+
+    # the state threads through the chunk; time chunks back-to-back and sync
+    # on the returned loss scalar (see module docstring on timing)
+    box = {"state": state}
+
+    def run_once():
+        box["state"], loss = run_chunk(box["state"], stacked)
+        return loss
+
+    dt_chunk = timed_median(run_once, n_rounds)
+    return n_stack / dt_chunk
 
 
 def time_cholesky(t: int, n: int, reps: int = 10,
@@ -151,33 +202,35 @@ def time_cholesky(t: int, n: int, reps: int = 10,
             tt, jnp.array([5.0], jnp.float32), noise=1e-2
         )[:, 0]
     )(times)
-    kd.block_until_ready()
+    float(jnp.sum(kd))  # settle (block_until_ready does not sync here)
 
     @jax.jit
     def run(kd):
         l, ld = chol_logdet(kd)
-        return ld.sum()
+        # consume the whole factor so XLA cannot dead-code any of it
+        return ld.sum() + jnp.sum(l)
 
     t0 = time.perf_counter()
-    run(kd).block_until_ready()
+    float(run(kd))
     if verbose:
         print(f"[bench] chol T={t} compile+warm {time.perf_counter()-t0:.1f}s",
               flush=True)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run(kd)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    flops = reps * n * (t ** 3) / 3.0
-    return flops / dt / 1e12
+    dt = timed_median(lambda: run(kd), reps)
+    return n * (t ** 3) / 3.0 / dt / 1e12
 
 
 def main(verbose: bool = False):
     import jax
 
     backend = jax.default_backend()
+    # absorb the one-time tunnel/device warmup (first device->host transfer
+    # in a process can take minutes) on a tiny op, not inside a timed region
+    host_roundtrip_latency()
     sps_pallas = time_train("pallas", verbose=verbose)
     sps_xla = time_train("xla", verbose=verbose)
+    sps_pallas_256 = time_train("pallas", batch=256, n_stack=10,
+                                verbose=verbose)
+    sps_xla_256 = time_train("xla", batch=256, n_stack=10, verbose=verbose)
     tflops_256 = time_cholesky(256, 512, reps=6, verbose=verbose)
     tflops_1024 = time_cholesky(1024, 128, reps=4, verbose=verbose)
     out = {
@@ -188,8 +241,11 @@ def main(verbose: bool = False):
         "extra": {
             "backend": backend,
             "xla_path_steps_per_sec": round(sps_xla, 2),
+            "scaled_B256_steps_per_sec": round(sps_pallas_256, 2),
+            "scaled_B256_xla_steps_per_sec": round(sps_xla_256, 2),
             "chol_logdet_tflops_T256_N512": round(tflops_256, 4),
             "chol_logdet_tflops_T1024_N128": round(tflops_1024, 4),
+            "host_roundtrip_ms": round(host_roundtrip_latency() * 1e3, 1),
         },
     }
     print(json.dumps(out))

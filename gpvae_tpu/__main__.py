@@ -8,7 +8,8 @@ copies).  Here the presets in configs.py drive everything:
     python -m gpvae_tpu generate-data --out toy.npz --num-seqs 10000
     python -m gpvae_tpu train --preset syn_data --steps 5000 \
         --data toy.npz --ckpt-dir ./ckpt --csv losses.csv
-    python -m gpvae_tpu train --preset full_gp_dynamic --synthetic-mnist
+    python -m gpvae_tpu train --preset full_gp_dynamic --num-seqs 64
+    python -m gpvae_tpu evaluate --preset syn_data --ckpt-dir ./ckpt --plots out/
     python -m gpvae_tpu bench
 """
 from __future__ import annotations
@@ -93,6 +94,8 @@ def cmd_train(args):
         overrides["checkpoint_dir"] = args.ckpt_dir
     if args.log_every:
         overrides["log_every"] = args.log_every
+    if args.steps_per_call:
+        overrides["steps_per_call"] = args.steps_per_call
     if overrides:
         train_cfg = dataclasses.replace(train_cfg, **overrides)
 
@@ -207,6 +210,8 @@ def main(argv=None):
     t.add_argument("--ckpt-dir")
     t.add_argument("--csv")
     t.add_argument("--log-every", type=int)
+    t.add_argument("--steps-per-call", type=int,
+                   help="optimizer steps per jitted call (amortizes dispatch)")
     t.add_argument("--seed", type=int, default=0)
     t.set_defaults(fn=cmd_train)
 

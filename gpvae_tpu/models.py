@@ -228,7 +228,41 @@ class GPVAE(nn.Module):
         lo, hi = c.inducing_time_range
         return jnp.linspace(lo, hi, c.num_inducing)
 
-    def sample_posterior(self, x, times, mask, num_samples):
+    def chol_banks(self, times, mask):
+        """All Cholesky factors this config needs, in ONE fused kernel call.
+
+        When both the posterior and the prior are GPs, their per-latent
+        lengthscales are stacked into a single 2Z-wide bank so the fused
+        Pallas gram+Cholesky kernel runs once per step instead of twice.
+        Returns ``{"l_q": ..., "l_p": ...}`` (absent keys for non-GP sides).
+        """
+        c = self.config
+        times, mask = self._grid(times, mask)
+        want_q = c.posterior in ("gp", "gp_plus_diag")
+        want_p = c.prior == "gp"
+        out: dict[str, Any] = {}
+        if want_q and want_p:
+            ls = jnp.concatenate([
+                jnp.exp(self.posterior_log_ls), jnp.exp(self.prior_log_ls)
+            ])
+            l_all = gp.chol_gram_bank(
+                times, ls, mask=mask, kernel=c.kernel, noise=c.noise,
+            )
+            out["l_q"] = l_all[:, : c.latent_dim]
+            out["l_p"] = l_all[:, c.latent_dim:]
+        elif want_q:
+            out["l_q"] = gp.chol_gram_bank(
+                times, jnp.exp(self.posterior_log_ls), mask=mask,
+                kernel=c.kernel, noise=c.noise,
+            )
+        elif want_p:
+            out["l_p"] = gp.chol_gram_bank(
+                times, jnp.exp(self.prior_log_ls), mask=mask,
+                kernel=c.kernel, noise=c.noise,
+            )
+        return out
+
+    def sample_posterior(self, x, times, mask, num_samples, aux=None):
         """Encode + reparameterized draw -> (z [S,B,T,Z], mean, aux)."""
         c = self.config
         key = self.make_rng("sample")
@@ -240,17 +274,16 @@ class GPVAE(nn.Module):
         if mask is not None:
             m = mask.astype(mean.dtype)[..., None]
             mean = mean * m
-        aux: dict[str, Any] = {}
+        if aux is None:
+            aux = self.chol_banks(times, mask)
         if c.posterior == "diag":
             z = gp.diag_sample(key, mean, log_var, num_samples, mask)
         elif c.posterior == "gp":
-            l_q = self.posterior_chol(times, mask)
-            aux["l_q"] = l_q
-            z = gp.gp_sample(key, mean, l_q, num_samples, mask)
+            z = gp.gp_sample(key, mean, aux["l_q"], num_samples, mask)
         else:  # gp_plus_diag
-            l_q = self.posterior_chol(times, mask)
-            aux["l_q"] = l_q
-            z = gp.recog_sample(key, mean, log_var, l_q, num_samples, mask)
+            z = gp.recog_sample(
+                key, mean, log_var, aux["l_q"], num_samples, mask
+            )
         return z, mean, log_var, aux
 
     def kl(self, mean, log_var, times, mask, aux):
@@ -265,7 +298,9 @@ class GPVAE(nn.Module):
             )
             return jnp.sum(kl_bz, axis=-1)
         if c.prior == "gp":
-            l_p = self.prior_chol(times, mask)
+            l_p = (
+                aux["l_p"] if "l_p" in aux else self.prior_chol(times, mask)
+            )
             if c.posterior == "gp":
                 kl_bz = gp.gp_kl(mean, aux["l_q"], l_p, mask)
             elif c.posterior == "diag":

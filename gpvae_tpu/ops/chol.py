@@ -50,9 +50,55 @@ def _chol_diag_block(d: jnp.ndarray) -> jnp.ndarray:
     return cholesky_xla(d)
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.einsum(
+        "nij,njk->nik", a, b, preferred_element_type=jnp.float32,
+        precision=_HI,
+    )
+
+
+def chol_and_inv(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(L, L^{-1}) of batched PSD ``d [N, nb, nb]`` for nb a power-of-two
+    multiple of 64 (or <= 64 directly).
+
+    Wide blocks are built *recursively* from the 64-wide lane-batched
+    kernels with pure MXU matmuls:
+
+        L   = [[L11, 0], [A21, L22]],   A21 = D21 L11^{-T}
+        L^{-1} = [[L11^{-1}, 0], [-L22^{-1} A21 L11^{-1}, L22^{-1}]]
+
+    This is what lets the blocked factorization use 128/256-wide panels —
+    halving/quartering the dominant trailing-update HBM traffic — while all
+    sequential-recurrence work stays in the 64-wide lane kernels.
+    """
+    n, nb, _ = d.shape
+    if nb <= pallas_chol.LANE_BATCH_MAX_T:
+        l = _chol_diag_block(d)
+        return l, pallas_tri.tri_inv_small_batched(l)
+    h = nb // 2
+    l11, inv11 = chol_and_inv(d[:, :h, :h])
+    a21 = _mm(d[:, h:, :h], jnp.swapaxes(inv11, -1, -2))
+    s22 = d[:, h:, h:] - _mm(a21, jnp.swapaxes(a21, -1, -2))
+    l22, inv22 = chol_and_inv(s22)
+    inv21 = -_mm(_mm(inv22, a21), inv11)
+    zero = jnp.zeros((n, h, h), jnp.float32)
+    l = jnp.concatenate([
+        jnp.concatenate([l11, zero], axis=2),
+        jnp.concatenate([a21, l22], axis=2),
+    ], axis=1)
+    inv = jnp.concatenate([
+        jnp.concatenate([inv11, zero], axis=2),
+        jnp.concatenate([inv21, inv22], axis=2),
+    ], axis=1)
+    return l, inv
+
+
 def cholesky_blocked(
     k: jnp.ndarray,
-    block_size: int = 64,
+    block_size: int = 128,
     *,
     panel_via_inverse: bool = True,
 ) -> jnp.ndarray:
@@ -68,9 +114,9 @@ def cholesky_blocked(
     shape is static.
     """
     n, t, _ = k.shape
-    nb = min(block_size, pallas_chol.LANE_BATCH_MAX_T)
-    if t <= nb:
+    if t <= pallas_chol.LANE_BATCH_MAX_T:
         return _chol_diag_block(k.astype(jnp.float32))
+    nb = block_size
     num_blocks = -(-t // nb)
     t_pad = num_blocks * nb
     if t_pad != t:
@@ -83,17 +129,17 @@ def cholesky_blocked(
     col_blocks = []
     for b in range(num_blocks):
         d = s[:, :nb, :nb]
-        ld = _chol_diag_block(d)                              # [N, nb, nb]
         rest = s[:, nb:, :nb]                                 # [N, R-nb, nb]
         # X L_d^T = rest  =>  X = rest L_d^{-T}
         if panel_via_inverse and jax.default_backend() == "tpu":
-            ld_inv = pallas_tri.tri_inv_small_batched(ld)
+            ld, ld_inv = chol_and_inv(d)
             x = jnp.einsum(
                 "nrk,njk->nrj", rest, ld_inv,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
         else:
+            ld = _chol_diag_block(d)
             x = solve_triangular(
                 ld, rest, left_side=False, lower=True, transpose_a=True
             )

@@ -30,9 +30,16 @@ from gpvae_tpu import kernels as kernels_lib
 
 LANES = 128
 # [T, T, LANES] fp32 working set must fit VMEM (~16 MB): 3 copies at T=64 is
-# ~6 MB.  Larger T goes through the blocked MXU path (chol.cholesky_blocked).
+# ~6 MB.  Larger T goes through the blocked MXU path (chol.cholesky_blocked),
+# whose wide diagonal blocks are built recursively from 64-blocks.
 LANE_BATCH_MAX_T = 64
 _DIAG_EPS = 1e-20
+
+
+def _lanes_for(t_pad: int) -> int:
+    # lane tiles are physically 128 wide on TPU; narrower tiles would not
+    # reduce VMEM (Mosaic pads them) and fail to compile when sliced
+    return LANES
 
 
 def _round_up(x: int, m: int) -> int:
@@ -56,8 +63,9 @@ def _chol_lane_body(a, l_ref, t_pad):
 
 
 def _chol_kernel(a_ref, l_ref):
-    t_pad = a_ref.shape[0]
-    _chol_lane_body(a_ref[...], l_ref, t_pad)
+    # refs are [1, T, T, L] (grouped layout); squeeze the group dim
+    t_pad = a_ref.shape[1]
+    _chol_lane_body(a_ref[0], l_ref.at[0], t_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("lower_only",))
@@ -74,7 +82,8 @@ def chol_small_batched(k: jnp.ndarray, lower_only: bool = True) -> jnp.ndarray:
             f"T={t} > {LANE_BATCH_MAX_T}; use cholesky_blocked for large T"
         )
     t_pad = max(_round_up(t, 8), 8)
-    n_pad = _round_up(max(n, 1), LANES)
+    lanes = _lanes_for(t_pad)
+    n_pad = _round_up(max(n, 1), lanes)
     kp = k.astype(jnp.float32)
     if t_pad != t:
         eye = jnp.eye(t_pad, dtype=jnp.float32)
@@ -87,21 +96,27 @@ def chol_small_batched(k: jnp.ndarray, lower_only: bool = True) -> jnp.ndarray:
         )
         kp = jnp.concatenate([kp, pad_block], axis=0)
 
-    kt = jnp.transpose(kp, (1, 2, 0))  # [T, T, N]
-    grid = (n_pad // LANES,)
+    # grouped layout [G, T, T, lanes]: the lane dim equals the array's last
+    # dim, satisfying the Pallas (8, 128-or-full) tiling constraint even for
+    # 64-lane tiles
+    g = n_pad // lanes
+    kt = jnp.transpose(kp.reshape(g, lanes, t_pad, t_pad), (0, 2, 3, 1))
     out = pl.pallas_call(
         _chol_kernel,
-        grid=grid,
+        grid=(g,),
         in_specs=[
-            pl.BlockSpec((t_pad, t_pad, LANES), lambda i: (0, 0, i),
+            pl.BlockSpec((1, t_pad, t_pad, lanes), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((t_pad, t_pad, LANES), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((1, t_pad, t_pad, lanes),
+                               lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_pad, t_pad, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, t_pad, t_pad, lanes),
+                                       jnp.float32),
         interpret=_interpret(),
     )(kt)
-    l = jnp.transpose(out, (2, 0, 1))[:n, :t, :t]
+    l = jnp.transpose(out, (0, 3, 1, 2)).reshape(n_pad, t_pad, t_pad)
+    l = l[:n, :t, :t]
     if lower_only:
         l = jnp.tril(l)
     return l
@@ -115,10 +130,10 @@ def _make_gram_chol_kernel(kernel_name: str, noise: float, t_pad: int):
     kfn = kernels_lib.get_kernel(kernel_name)
 
     def kernel(times_ref, ls_ref, mask_ref, var_ref, l_ref):
-        tt = times_ref[...]          # [T, L]
-        ls = ls_ref[...]             # [1, L] (sublane-padded scalar row)
-        m = mask_ref[...]            # [T, L]
-        var = var_ref[...]           # [1, L]
+        tt = times_ref[0]            # [T, L]
+        ls = ls_ref[0]               # [1, L] (sublane-padded scalar row)
+        m = mask_ref[0]              # [T, L]
+        var = var_ref[0]             # [1, L]
         dt = tt[:, None, :] - tt[None, :, :]          # [T, T, L]
         a = var[None, :, :] * kfn(dt, ls[None, :, :])  # [T, T, L]
         eye = (
@@ -128,7 +143,7 @@ def _make_gram_chol_kernel(kernel_name: str, noise: float, t_pad: int):
         a = (1.0 - noise) * a + noise * eye
         mm = m[:, None, :] * m[None, :, :]
         a = a * mm + (1.0 - m[:, None, :]) * eye
-        _chol_lane_body(a, l_ref, t_pad)
+        _chol_lane_body(a, l_ref.at[0], t_pad)
 
     return kernel
 
@@ -138,29 +153,30 @@ def _make_gram_chol_kernel(kernel_name: str, noise: float, t_pad: int):
 )
 def _gram_chol_fused_impl(times, ls, mask, var, *, kernel, noise, t):
     """times/ls/mask/var all ``[N]``-leading flat layout; see wrapper."""
-    n = times.shape[1]
-    t_pad = times.shape[0]
-    grid = (n // LANES,)
+    # grouped layout [G, ..., lanes] (see chol_small_batched)
+    g, t_pad, lanes = times.shape
     body = _make_gram_chol_kernel(kernel, noise, t_pad)
     out = pl.pallas_call(
         body,
-        grid=grid,
+        grid=(g,),
         in_specs=[
-            pl.BlockSpec((t_pad, LANES), lambda i: (0, i),
+            pl.BlockSpec((1, t_pad, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, i),
+            pl.BlockSpec((1, 1, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_pad, LANES), lambda i: (0, i),
+            pl.BlockSpec((1, t_pad, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, i),
+            pl.BlockSpec((1, 1, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((t_pad, t_pad, LANES), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((1, t_pad, t_pad, lanes),
+                               lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_pad, t_pad, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, t_pad, t_pad, lanes),
+                                       jnp.float32),
         interpret=_interpret(),
     )(times, ls, mask, var)
-    return out  # [T_pad, T_pad, N]
+    return out  # [G, T_pad, T_pad, lanes]
 
 
 def gram_chol_fused(
@@ -189,8 +205,8 @@ def gram_chol_fused(
         raise ValueError(f"fused path supports T <= {LANE_BATCH_MAX_T}")
     z = lengthscales.shape[-1]
     n = b * z
-    n_pad = _round_up(n, LANES)
     t_pad = max(_round_up(t, 8), 8)
+    n_pad = _round_up(n, _lanes_for(t_pad))
 
     f32 = jnp.float32
     # Broadcast to flat [N] matrix index = (b, z)
@@ -229,9 +245,16 @@ def gram_chol_fused(
 
     tt, mk = pad_t(tt), pad_t(mk)
 
+    lanes = _lanes_for(t_pad)
+    g = n_pad // lanes
+
+    def group(x):  # [N, T] -> [G, T, lanes]
+        return jnp.transpose(x.reshape(g, lanes, -1), (0, 2, 1))
+
     out = _gram_chol_fused_impl(
-        tt.T, ls[None, :], mk.T, var[None, :],
+        group(tt), group(ls[:, None]), group(mk), group(var[:, None]),
         kernel=kernel, noise=noise, t=t_pad,
     )
-    l = jnp.transpose(out, (2, 0, 1))[:n, :t, :t]
+    l = jnp.transpose(out, (0, 3, 1, 2)).reshape(n_pad, t_pad, t_pad)
+    l = l[:n, :t, :t]
     return jnp.tril(l).reshape(b, z, t, t)

@@ -39,18 +39,19 @@ def _tri_inv_kernel(l_ref, x_ref):
     ``(e_j - sum_i L[j,i] X[i]) / L[j,j]`` — the sum uses the full X whose
     rows >= j are still zero, so no masking is needed.  Rows accumulate in
     the output ref (``.at[].set`` on values lowers to scatter, which Mosaic
-    does not implement)."""
-    nb = l_ref.shape[0]
-    l = l_ref[...]                       # [nb, nb, L]
-    x_ref[...] = jnp.zeros_like(l)
+    does not implement).  Refs are [1, nb, nb, L] (grouped layout)."""
+    nb = l_ref.shape[1]
+    l = l_ref[0]                         # [nb, nb, L]
+    xv = x_ref.at[0]
+    xv[...] = jnp.zeros_like(l)
     for j in range(nb):
         lj = l[j, :, :]                  # [nb(i), L]
-        acc = jnp.sum(lj[:, None, :] * x_ref[...], axis=0)  # [nb(c), L]
+        acc = jnp.sum(lj[:, None, :] * xv[...], axis=0)  # [nb(c), L]
         onehot = jax.lax.broadcasted_iota(
             jnp.int32, (nb, 1), 0
         ) == j                                          # [nb, 1]
         row = (onehot.astype(l.dtype) - acc) / l[j, j, :][None, :]
-        x_ref[j, :, :] = row
+        xv[j, :, :] = row
 
 
 @jax.jit
@@ -61,7 +62,8 @@ def tri_inv_small_batched(l: jnp.ndarray) -> jnp.ndarray:
     if nb > MAX_NB:
         raise ValueError(f"nb={nb} > {MAX_NB}")
     nb_pad = max(_round_up(nb, 8), 8)
-    n_pad = _round_up(max(n, 1), LANES)
+    lanes = LANES
+    n_pad = _round_up(max(n, 1), lanes)
     lp = l.astype(jnp.float32)
     if nb_pad != nb:
         pad_diag = (jnp.arange(nb_pad) >= nb).astype(jnp.float32)
@@ -72,18 +74,21 @@ def tri_inv_small_batched(l: jnp.ndarray) -> jnp.ndarray:
             jnp.eye(nb_pad, dtype=jnp.float32), (n_pad - n, nb_pad, nb_pad)
         )
         lp = jnp.concatenate([lp, pad_block], axis=0)
-    lt = jnp.transpose(lp, (1, 2, 0))
+    g = n_pad // lanes
+    lt = jnp.transpose(lp.reshape(g, lanes, nb_pad, nb_pad), (0, 2, 3, 1))
     out = pl.pallas_call(
         _tri_inv_kernel,
-        grid=(n_pad // LANES,),
+        grid=(g,),
         in_specs=[
-            pl.BlockSpec((nb_pad, nb_pad, LANES), lambda i: (0, 0, i),
+            pl.BlockSpec((1, nb_pad, nb_pad, lanes), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nb_pad, nb_pad, LANES), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((1, nb_pad, nb_pad, lanes),
+                               lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb_pad, nb_pad, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, nb_pad, nb_pad, lanes),
+                                       jnp.float32),
         interpret=_interpret(),
     )(lt)
-    x = jnp.transpose(out, (2, 0, 1))[:n, :nb, :nb]
-    return jnp.tril(x)
+    x = jnp.transpose(out, (0, 3, 1, 2)).reshape(n_pad, nb_pad, nb_pad)
+    return jnp.tril(x[:n, :nb, :nb])

@@ -59,6 +59,11 @@ class TrainConfig:
     checkpoint_dir: str | None = None
     keep_checkpoints: int = 3
     seed: int = 0
+    # >1: run this many optimizer steps per jitted call (a lax.scan over a
+    # stacked super-batch).  Amortizes per-call dispatch — essential when
+    # the device is remote (per-step dispatch caps wall throughput far below
+    # chip throughput) and useful everywhere
+    steps_per_call: int = 1
 
 
 def create_train_state(
@@ -83,16 +88,11 @@ def create_train_state(
     return state, tx
 
 
-def make_train_step(
+def _build_step_fn(
     model: GPVAE,
     tx: optax.GradientTransformation,
     beta_schedule: elbo_lib.BetaSchedule,
-    *,
-    donate: bool = True,
-) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
-    """Build the single jitted train step (state donated for in-place
-    buffer reuse on device)."""
-
+):
     def step_fn(state: TrainState, batch: dict):
         rng, sample_key = jax.random.split(state.rng)
         beta = beta_schedule(state.step)
@@ -130,7 +130,42 @@ def make_train_step(
         )
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(
+    model: GPVAE,
+    tx: optax.GradientTransformation,
+    beta_schedule: elbo_lib.BetaSchedule,
+    *,
+    donate: bool = True,
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Build the single jitted train step (state donated for in-place
+    buffer reuse on device)."""
+    step_fn = _build_step_fn(model, tx, beta_schedule)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_step(
+    model: GPVAE,
+    tx: optax.GradientTransformation,
+    beta_schedule: elbo_lib.BetaSchedule,
+    num_steps: int,
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """``num_steps`` optimizer steps per jitted call: a ``lax.scan`` over a
+    super-batch whose arrays carry a leading [num_steps] axis.  Returns the
+    last step's metrics."""
+    inner = _build_step_fn(model, tx, beta_schedule)
+
+    def multi_fn(state: TrainState, batches: dict):
+        def body(s, b):
+            s, metrics = inner(s, b)
+            return s, metrics
+        state, metrics = jax.lax.scan(body, state, batches)
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return state, last
+
+    return jax.jit(multi_fn, donate_argnums=(0,))
 
 
 def eval_step(model: GPVAE, params, batch: dict, key: jax.Array,
@@ -260,32 +295,54 @@ def fit(
             if verbose:
                 print(f"resumed from step {int(state.step)}")
 
-    step_fn = make_train_step(model, tx, config.beta)
+    k = max(1, config.steps_per_call)
+    if k > 1:
+        multi_fn = make_multi_step(model, tx, config.beta, k)
+    step_fn = make_train_step(model, tx, config.beta) if k == 1 else None
     log = MetricsLog(csv_path)
     t_last = time.perf_counter()
     batch = first
     # host-side step counter: reading state.step back every iteration would
     # force a device sync per step (ruinous over a remote-device tunnel)
     step = int(state.step)
+    last_logged = step
     while step < config.num_steps:
-        state, metrics = step_fn(state, _device_batch(batch))
-        step += 1
-        if step % config.log_every == 0 or step == config.num_steps:
+        if k == 1:
+            state, metrics = step_fn(state, _device_batch(batch))
+            step += 1
+        else:
+            chunk = [batch] + [next(batches) for _ in range(k - 1)]
+            stacked = {
+                key: jnp.stack([jnp.asarray(c[key]) for c in chunk])
+                for key in ("x", "times", "mask")
+            }
+            stacked["times"] = stacked["times"].astype(jnp.float32)
+            state, metrics = multi_fn(state, stacked)
+            step += k
+        if step // config.log_every > last_logged // config.log_every or (
+            step >= config.num_steps
+        ):
             jax.block_until_ready(metrics["loss"])
             now = time.perf_counter()
-            sps = config.log_every / max(now - t_last, 1e-9)
+            sps = (step - last_logged) / max(now - t_last, 1e-9)
             t_last = now
-            metrics = {k: np.asarray(v) for k, v in metrics.items()}
-            log.append(step, {**metrics, "steps_per_sec": sps})
+            last_logged = step
+            host = {
+                name: np.asarray(v) for name, v in metrics.items()
+            }
+            log.append(step, {**host, "steps_per_sec": sps})
             if verbose:
                 print(
-                    f"step {step}: loss={float(metrics['loss']):.4f} "
-                    f"nll={float(metrics['nll']):.4f} "
-                    f"kl={float(metrics['kl']):.4f} "
-                    f"beta={float(metrics['beta']):.2e} "
+                    f"step {step}: loss={float(host['loss']):.4f} "
+                    f"nll={float(host['nll']):.4f} "
+                    f"kl={float(host['kl']):.4f} "
+                    f"beta={float(host['beta']):.2e} "
                     f"({sps:.1f} steps/s)"
                 )
-        if ckpt is not None and step % config.checkpoint_every == 0:
+        if ckpt is not None and (
+            step % config.checkpoint_every < k
+            and step >= config.checkpoint_every
+        ):
             ckpt.save(state)
         batch = next(batches)
     if ckpt is not None:
