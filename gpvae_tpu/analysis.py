@@ -252,6 +252,56 @@ def imputation_metrics(
     return out
 
 
+def pixel_imputation_metrics(
+    model: GPVAE,
+    params,
+    batch: dict,
+    *,
+    key,
+) -> dict:
+    """Missing-*pixel* imputation scoring (healing-MNIST regime,
+    BASELINE.json config 2).
+
+    ``batch`` is a ``data.healing.make_healing_batch`` dict: the encoder
+    sees the zero-filled corrupted ``x``; reconstructions are scored against
+    ``x_clean`` on exactly the missing pixels (``~feature_mask``), with the
+    marginal-rate predictor as baseline.
+    """
+    x = jnp.asarray(batch["x"])
+    x_clean = jnp.asarray(batch["x_clean"])
+    fmask = jnp.asarray(batch["feature_mask"])
+    times = jnp.asarray(batch["times"], jnp.float32)
+    mask = jnp.asarray(batch["mask"])
+
+    enc = encode(model, params, x)
+    mean = enc[0] if isinstance(enc, tuple) else enc
+    probs = jax.nn.sigmoid(decode(model, params, mean))
+
+    missing = (~fmask).astype(probs.dtype)
+    denom = jnp.maximum(missing.sum(), 1.0)
+
+    def score(p):
+        p = jnp.clip(p, 1e-6, 1.0 - 1e-6)
+        nll = -(x_clean * jnp.log(p) + (1 - x_clean) * jnp.log1p(-p))
+        mse = (p - x_clean) ** 2
+        return (
+            float((nll * missing).sum() / denom),
+            float((mse * missing).sum() / denom),
+        )
+
+    nll_model, mse_model = score(probs)
+    # baseline: predict the observed marginal on-rate everywhere
+    obs_rate = (x_clean * fmask).sum() / jnp.maximum(fmask.sum(), 1.0)
+    nll_base, mse_base = score(jnp.full_like(probs, obs_rate))
+    return {
+        "missing_pixels": int(np.asarray(missing).sum()),
+        "nll_model": nll_model,
+        "mse_model": mse_model,
+        "nll_marginal_baseline": nll_base,
+        "mse_marginal_baseline": mse_base,
+    }
+
+
 def _param_or_const(model: GPVAE, params, name: str, cfg):
     if name in params:
         return params[name]

@@ -7,6 +7,11 @@ from gpvae_tpu.data.synthetic import (
     TOY_TIME_GRID,
 )
 from gpvae_tpu.data.batching import Batcher
+from gpvae_tpu.data.healing import (
+    make_healing_batch,
+    random_pixel_mask,
+    synthetic_healing_sequences,
+)
 from gpvae_tpu.data.moving_mnist import MovingMNIST, synthetic_moving_mnist
 
 __all__ = [
@@ -16,4 +21,7 @@ __all__ = [
     "Batcher",
     "MovingMNIST",
     "synthetic_moving_mnist",
+    "make_healing_batch",
+    "random_pixel_mask",
+    "synthetic_healing_sequences",
 ]

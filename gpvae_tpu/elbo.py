@@ -20,12 +20,17 @@ def bernoulli_nll(
     logits: jnp.ndarray,
     x: jnp.ndarray,
     mask: jnp.ndarray | None = None,
+    feature_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Per-sequence Bernoulli negative log-likelihood -> ``[B]``.
 
     * ``logits`` ``[S, B, T, ...]`` decoder outputs for S posterior samples,
     * ``x``      ``[B, T, ...]`` targets in [0, 1],
-    * ``mask``   ``[B, T]`` observed-timestep mask.
+    * ``mask``   ``[B, T]`` observed-timestep mask,
+    * ``feature_mask`` ``[B, T, ...]`` per-feature observed mask (the
+      healing-MNIST missing-*pixel* regime, BASELINE.json config 2): masked
+      features contribute zero likelihood, so the model is only trained on
+      what was actually observed.
 
     Sums over observation dims and timesteps (masked), averages over the S
     samples — the reference's tile-by-S / split / mean / sum pipeline
@@ -35,6 +40,8 @@ def bernoulli_nll(
     """
     x = x[None]  # broadcast over samples
     elem = jnp.logaddexp(0.0, logits) - x * logits  # [S, B, T, ...]
+    if feature_mask is not None:
+        elem = elem * feature_mask.astype(elem.dtype)[None]
     reduce_dims = tuple(range(3, elem.ndim))
     per_t = jnp.sum(elem, axis=reduce_dims)  # [S, B, T]
     if mask is not None:
@@ -46,6 +53,7 @@ def gaussian_nll(
     mean: jnp.ndarray,
     x: jnp.ndarray,
     mask: jnp.ndarray | None = None,
+    feature_mask: jnp.ndarray | None = None,
     log_var: jnp.ndarray | float = 0.0,
 ) -> jnp.ndarray:
     """Per-sequence Gaussian NLL -> ``[B]`` (not in the reference zoo; provided
@@ -57,6 +65,8 @@ def gaussian_nll(
         + log_var
         + jnp.log(2.0 * jnp.pi)
     )
+    if feature_mask is not None:
+        elem = elem * feature_mask.astype(elem.dtype)[None]
     reduce_dims = tuple(range(3, elem.ndim))
     per_t = jnp.sum(elem, axis=reduce_dims)
     if mask is not None:

@@ -58,6 +58,9 @@ class GPVAEConfig:
     image_shape: tuple[int, int, int] = (64, 64, 1)
     kernel: str = "rbf"
     noise: float = 1e-3
+    # observation model: "bernoulli" (the reference's only choice — decoder
+    # outputs logits) or "gaussian" (decoder outputs means; unit variance)
+    likelihood: str = "bernoulli"
     # scalar entries broadcast over latent dims; len == latent_dim otherwise
     prior_lengthscales: tuple[float, ...] = (9.0, 3.0)
     posterior_lengthscales: tuple[float, ...] = (9.0, 3.0)
@@ -81,6 +84,8 @@ class GPVAEConfig:
             raise ValueError(f"posterior must be one of {POSTERIORS}")
         if self.encoder not in NETS or self.decoder not in NETS:
             raise ValueError(f"nets must be one of {NETS}")
+        if self.likelihood not in ("bernoulli", "gaussian"):
+            raise ValueError("likelihood must be bernoulli or gaussian")
         if self.posterior == "gp_plus_diag" and self.prior != "standard":
             raise ValueError(
                 "gp_plus_diag posterior pairs with the standard prior "
@@ -332,7 +337,11 @@ class GPVAE(nn.Module):
         *,
         beta: jnp.ndarray | float = 1.0,
         num_samples: int | None = None,
+        feature_mask: jnp.ndarray | None = None,
     ) -> ELBOOutput:
+        """``feature_mask [B, T, ...]`` marks per-feature observations
+        (missing-pixel imputation, healing-MNIST regime); missing features
+        must be zero-filled in ``x`` and contribute no likelihood."""
         c = self.config
         s = num_samples if num_samples is not None else c.num_samples
         if times is None:
@@ -344,7 +353,10 @@ class GPVAE(nn.Module):
         z, mean, log_var, aux = self.sample_posterior(x, times, mask, s)
         kl_b = self.kl(mean, log_var, times, mask, aux)
         logits = self.decode(z)
-        nll_b = elbo_lib.bernoulli_nll(logits, x, mask)
+        if c.likelihood == "bernoulli":
+            nll_b = elbo_lib.bernoulli_nll(logits, x, mask, feature_mask)
+        else:
+            nll_b = elbo_lib.gaussian_nll(logits, x, mask, feature_mask)
         beta = jnp.asarray(beta, nll_b.dtype)
         loss = jnp.mean(nll_b + beta * kl_b)
         return ELBOOutput(
