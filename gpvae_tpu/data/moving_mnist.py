@@ -108,3 +108,36 @@ class MovingMNIST:
 
     def data_batch(self, name: str) -> dict:
         return next(self.batchers[name])
+
+    def make_shuffled_dataset(self, seed: int = 0) -> None:
+        """'mixed_train': training frames shuffled across time and sequence
+        (destroys temporal structure — the reference's ablation control,
+        src/Models/DataHandler.py:53-57)."""
+        x = self.splits["train"]["x"]
+        n, t = x.shape[:2]
+        flat = x.reshape((n * t,) + x.shape[2:]).copy()
+        np.random.default_rng(seed).shuffle(flat)
+        arrays = {
+            "x": flat.reshape(x.shape),
+            "times": self.splits["train"]["times"],
+            "mask": self.splits["train"]["mask"],
+        }
+        self.splits["mixed_train"] = arrays
+        self.batchers["mixed_train"] = Batcher(
+            arrays, self.batchers["train"].batch_size, seed=seed
+        )
+
+    def make_cropped_dataset(self, y0: int = 18, x0: int = 18,
+                             size: int = 28) -> None:
+        """'cropped_train': center-crop of the frames (reference
+        src/Models/DataHandler.py:59-61)."""
+        src = self.splits["train"]
+        arrays = {
+            "x": src["x"][:, :, y0:y0 + size, x0:x0 + size, :],
+            "times": src["times"],
+            "mask": src["mask"],
+        }
+        self.splits["cropped_train"] = arrays
+        self.batchers["cropped_train"] = Batcher(
+            arrays, self.batchers["train"].batch_size
+        )

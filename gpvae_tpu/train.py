@@ -276,9 +276,16 @@ def fit(
     state: TrainState | None = None,
     csv_path: str | None = None,
     verbose: bool = True,
+    callbacks: list[tuple[int, Callable[[TrainState, int], None]]] | None
+    = None,
 ) -> tuple[TrainState, MetricsLog]:
     """Run the training loop; resumes from ``config.checkpoint_dir`` if a
-    checkpoint exists there."""
+    checkpoint exists there.
+
+    ``callbacks``: list of ``(every_n_steps, fn(state, step))`` hooks — the
+    home for periodic artifact dumps (the reference's reconstruction film
+    strips every 10-20k steps, src/Models/Full_GP_VAE_dynamic_time.py:
+    385-410; compose with gpvae_tpu.utils.plotting)."""
     first = next(batches)
     if state is None:
         state, tx = create_train_state(model, first, config)
@@ -344,6 +351,10 @@ def fit(
             and step >= config.checkpoint_every
         ):
             ckpt.save(state)
+        if callbacks:
+            for every, fn in callbacks:
+                if step % every < k and step >= every:
+                    fn(state, step)
         batch = next(batches)
     if ckpt is not None:
         ckpt.save(state)

@@ -69,3 +69,21 @@ def test_moving_mnist_pipeline():
     assert ds.splits["train"]["x"].shape[0] == 16
     assert ds.splits["valid"]["x"].shape[0] == 2
     assert ds.splits["test"]["x"].shape[0] == 2
+
+
+def test_moving_mnist_shuffled_and_cropped_datasets():
+    vids = synthetic_moving_mnist(20, t=6, size=64)
+    ds = MovingMNIST(data=vids, batch_size=4)
+    ds.make_shuffled_dataset()
+    b = ds.data_batch("mixed_train")
+    assert b["x"].shape == (4, 6, 64, 64, 1)
+    # same pixel mass, destroyed ordering
+    assert np.isclose(
+        ds.splits["mixed_train"]["x"].sum(), ds.splits["train"]["x"].sum()
+    )
+    assert not np.array_equal(
+        ds.splits["mixed_train"]["x"], ds.splits["train"]["x"]
+    )
+    ds.make_cropped_dataset()
+    b = ds.data_batch("cropped_train")
+    assert b["x"].shape == (4, 6, 28, 28, 1)

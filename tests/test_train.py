@@ -97,3 +97,14 @@ def test_preset_syn_data_step_runs():
     config = train_lib.TrainConfig(num_steps=2, log_every=1)
     state, log = train_lib.fit(model, iter(b), config, verbose=False)
     assert np.isfinite(log.rows[-1]["loss"])
+
+
+def test_fit_callbacks_fire():
+    model, batches, _ = small_toy_setup()
+    calls = []
+    config = train_lib.TrainConfig(num_steps=30, log_every=30)
+    train_lib.fit(
+        model, iter(batches), config, verbose=False,
+        callbacks=[(10, lambda state, step: calls.append(step))],
+    )
+    assert calls == [10, 20, 30]
