@@ -54,6 +54,43 @@ def _tri_inv_kernel(l_ref, x_ref):
         xv[j, :, :] = row
 
 
+@jax.custom_vjp
+def tri_inv(l: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable lower-triangular inverse ``[..., nb, nb]``, nb <= 64.
+
+    Forward: the lane-batched kernel.  Backward: the analytic rule
+    ``d(L^{-1}) = -L^{-1} dL L^{-1}`` transposed, i.e.
+    ``L_bar = -tril(X^T X_bar X^T)`` with ``X = L^{-1}`` — pure MXU matmuls.
+
+    (A Newton refinement ``X <- X(2I - LX)`` was measured to give no
+    accuracy improvement on jittered gram factors — the residual KL error
+    vs fp64 is dominated by the fp32 factorization itself — so the forward
+    is the raw kernel output.)
+    """
+    batch = l.shape[:-2]
+    nb = l.shape[-1]
+    x = tri_inv_small_batched(l.reshape((-1, nb, nb)))
+    return x.reshape(batch + (nb, nb))
+
+
+def _tri_inv_fwd(l):
+    x = tri_inv(l)
+    return x, x
+
+
+def _tri_inv_bwd(x, x_bar):
+    xt = jnp.swapaxes(x, -1, -2)
+    l_bar = -jnp.einsum(
+        "...ij,...jk,...kl->...il", xt, x_bar, xt,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return (jnp.tril(l_bar),)
+
+
+tri_inv.defvjp(_tri_inv_fwd, _tri_inv_bwd)
+
+
 @jax.jit
 def tri_inv_small_batched(l: jnp.ndarray) -> jnp.ndarray:
     """Inverse of batched lower-triangular ``l [N, nb, nb]``, nb <= 64."""
