@@ -151,15 +151,39 @@ def gp_kl(
     if mask is not None:
         mu = mu * mask.astype(mu.dtype)[..., None]
     b, t = mu.shape[0], mu.shape[-2]
-    a = solve_triangular(l_p, l_q)                    # L_p^{-1} L_q
+    if jax.default_backend() == "tpu" and t <= LANE_BATCH_MAX_T:
+        # ONE lane-batched inverse of L_p, applied by MXU matmuls to both
+        # the trace term and the quad term (vs two separate trsm/inversions)
+        from gpvae_tpu.ops import pallas_tri
+        inv_p = pallas_tri.tri_inv(l_p)
+        a = jnp.einsum(
+            "...ij,...jk->...ik", inv_p, l_q,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if inv_p.shape[0] == 1 and b > 1:  # shared fixed-grid factor
+            v = jnp.einsum(
+                "zij,bjz->bzi", inv_p[0], mu,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            v = jnp.einsum(
+                "bzij,bjz->bzi", inv_p, mu,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        quad = jnp.sum(v * v, axis=-1)
+    else:
+        a = solve_triangular(l_p, l_q)                # L_p^{-1} L_q
+        mu_bz = jnp.swapaxes(mu, -1, -2)[..., None]   # [B, Z, T, 1]
+        l_p_full = (
+            jnp.broadcast_to(l_p, (b,) + l_p.shape[1:])
+            if l_p.shape[0] == 1 and b > 1 else l_p
+        )
+        v = solve_triangular(l_p_full, mu_bz)
+        quad = jnp.sum(v * v, axis=(-2, -1))
     tr = jnp.sum(a * a, axis=(-2, -1))                # [B or 1, Z]
-    mu_bz = jnp.swapaxes(mu, -1, -2)[..., None]       # [B, Z, T, 1]
-    l_p_full = (
-        jnp.broadcast_to(l_p, (b,) + l_p.shape[1:])
-        if l_p.shape[0] == 1 and b > 1 else l_p
-    )
-    v = solve_triangular(l_p_full, mu_bz)
-    quad = jnp.sum(v * v, axis=(-2, -1))
     ld_p = logdet_from_chol(l_p)
     ld_q = logdet_from_chol(l_q)
     return 0.5 * (jnp.broadcast_to(tr, quad.shape) + quad - t
@@ -188,8 +212,34 @@ def gp_prior_diag_kl(
         mu = mu * m
         log_var = log_var * m  # masked -> log v = 0 -> v = 1
     b, t = mu.shape[0], mu.shape[-2]
-    eye = jnp.broadcast_to(jnp.eye(t, dtype=l_p.dtype), l_p.shape)
-    w = solve_triangular(l_p, eye)                    # [B or 1, Z, T, T]
+    if jax.default_backend() == "tpu" and t <= LANE_BATCH_MAX_T:
+        # W = L^{-1} I is literally the triangular inverse: one lane-batched
+        # kernel call, reused for both the trace diag and the quad term
+        from gpvae_tpu.ops import pallas_tri
+        w = pallas_tri.tri_inv(l_p)
+        if w.shape[0] == 1 and b > 1:
+            y = jnp.einsum(
+                "zij,bjz->bzi", w[0], mu,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            y = jnp.einsum(
+                "bzij,bjz->bzi", w, mu,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        quad = jnp.sum(y * y, axis=-1)
+    else:
+        eye = jnp.broadcast_to(jnp.eye(t, dtype=l_p.dtype), l_p.shape)
+        w = solve_triangular(l_p, eye)                # [B or 1, Z, T, T]
+        mu_bz = jnp.swapaxes(mu, -1, -2)[..., None]
+        l_p_full = (
+            jnp.broadcast_to(l_p, (b,) + l_p.shape[1:])
+            if l_p.shape[0] == 1 and b > 1 else l_p
+        )
+        y = solve_triangular(l_p_full, mu_bz)
+        quad = jnp.sum(y * y, axis=(-2, -1))
     dinv = jnp.sum(w * w, axis=-2)                    # diag(K^{-1})
     v_bz = jnp.swapaxes(jnp.exp(log_var), -1, -2)     # [B, Z, T]
     tr = jnp.sum(jnp.broadcast_to(
@@ -197,13 +247,6 @@ def gp_prior_diag_kl(
     ) * v_bz, axis=-1) if dinv.shape[0] == 1 and b > 1 else jnp.sum(
         dinv * v_bz, axis=-1
     )
-    mu_bz = jnp.swapaxes(mu, -1, -2)[..., None]
-    l_p_full = (
-        jnp.broadcast_to(l_p, (b,) + l_p.shape[1:])
-        if l_p.shape[0] == 1 and b > 1 else l_p
-    )
-    y = solve_triangular(l_p_full, mu_bz)
-    quad = jnp.sum(y * y, axis=(-2, -1))
     ld_p = logdet_from_chol(l_p)
     sum_log_v = jnp.sum(jnp.swapaxes(log_var, -1, -2), axis=-1)
     return 0.5 * (tr + quad - t + jnp.broadcast_to(ld_p, tr.shape)

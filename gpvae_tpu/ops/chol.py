@@ -202,6 +202,14 @@ def cholesky_bwd_from_l(l: jnp.ndarray, l_bar: jnp.ndarray) -> jnp.ndarray:
     """
     p = _phi(jnp.einsum("...ji,...jk->...ik", l, l_bar))
     w = 0.5 * (p + jnp.swapaxes(p, -1, -2))
+    if jax.default_backend() == "tpu" and l.shape[-1] <= pallas_tri.MAX_NB:
+        # one lane-batched inverse, two MXU matmuls: K_bar = X^T w X
+        x = pallas_tri.tri_inv(l)
+        kbar = jnp.einsum(
+            "...ji,...jk,...kl->...il", x, w, x,
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        return kbar
     # tmp = L^{-T} w  : solve L^T tmp = w
     tmp = solve_triangular(l, w, left_side=True, lower=True, transpose_a=True)
     # kbar = tmp L^{-1} : solve kbar L = tmp
