@@ -21,6 +21,23 @@ def test_generate_toy_data_contract():
     # observed entries are exactly {0, 1}; hidden are exactly -1
     assert set(np.unique(x[mask])) <= {0.0, 1.0}
     assert np.all(x[~mask] == -1.0)
+    # guard against the degenerate regime (fp32 Cholesky NaN -> all-zero
+    # draws): probabilities finite, on-rate in a sane band
+    assert np.all(np.isfinite(np.asarray(data["p"])))
+    assert 0.1 < x[mask].mean() < 0.9, x[mask].mean()
+
+
+def test_generate_toy_data_fp32_not_degenerate():
+    """The generator is pinned to fp32 (the TPU regime); its grams (rank-2
+    cosine, near-singular RBF) must stay factorizable there — an x64
+    fallback would hide a NaN->all-zeros regression."""
+    data = generate_toy_data(jax.random.key(3), 32)
+    assert np.asarray(data["f"]).dtype == np.float32
+    x = np.asarray(data["x"])
+    mask = np.asarray(data["mask"])
+    assert np.all(np.isfinite(np.asarray(data["f"])))
+    assert np.all(np.isfinite(np.asarray(data["p"])))
+    assert 0.1 < x[mask].mean() < 0.9, x[mask].mean()
     # probabilities sum to one across the three groups
     p = np.asarray(data["p"])
     np.testing.assert_allclose(p.sum(1), 1.0, atol=1e-6)
