@@ -178,6 +178,35 @@ def cmd_evaluate(args):
             os.path.join(args.plots, "latents.png"),
             mask=np.asarray(kept[0]),
         )
+        if args.traversal is not None:
+            # sweep one latent dim over a probit grid and along a draw from
+            # the learned per-latent GP gram (reference latent traversal,
+            # SURVEY.md §3.4)
+            sweep = analysis.latent_traversal(
+                model, state.params, jnp.zeros(model_cfg.latent_dim),
+                dim=args.traversal,
+            )
+            gp_sweep = analysis.traversal_from_gp(
+                model, state.params, times[0], dim=args.traversal,
+                key=jax.random.key(args.seed + 2),
+            )
+            if model_cfg.decoder == "conv":
+                plotting.film_strip(
+                    np.asarray(sweep),
+                    os.path.join(args.plots, "traversal.png"),
+                    title=f"latent dim {args.traversal} probit sweep",
+                )
+                plotting.film_strip(
+                    np.asarray(gp_sweep),
+                    os.path.join(args.plots, "traversal_gp.png"),
+                    title=f"latent dim {args.traversal} GP-draw sweep",
+                )
+            else:
+                plotting.trajectory_plot(
+                    np.arange(sweep.shape[0], dtype=np.float32),
+                    np.asarray(sweep),
+                    os.path.join(args.plots, "traversal.png"),
+                )
         print(f"plots written to {args.plots}")
 
 
@@ -224,6 +253,8 @@ def main(argv=None):
     e.add_argument("--eval-batch", type=int, default=16)
     e.add_argument("--drop-fraction", type=float, default=0.5)
     e.add_argument("--plots", help="directory for PNG artifacts")
+    e.add_argument("--traversal", type=int,
+                   help="also dump latent-traversal strips for this dim")
     e.add_argument("--seed", type=int, default=0)
     e.set_defaults(fn=cmd_evaluate)
 

@@ -425,7 +425,7 @@ def posterior_conditional(
     kernel: str = "rbf",
     noise: float = kernels_lib.DEFAULT_NOISE,
     variance: jnp.ndarray | float = 1.0,
-    jitter: float = 1e-6,
+    jitter: float | None = None,
 ) -> GPPosterior:
     """Batched GP conditioning p(z(t_query) | z(t_obs)) per latent dim.
 
@@ -444,6 +444,11 @@ def posterior_conditional(
     * ``times_obs`` ``[B, To]``, ``z_obs`` ``[B, To, Z]``,
       ``times_query`` ``[B, Tq]``.
     """
+    if jitter is None:
+        # fp32 factorizations need ~1e-4 headroom on near-singular RBF
+        # grams; 1e-6 is a fp64 habit (the noise term usually dominates,
+        # but noise can legitimately be set near zero here)
+        jitter = 1e-6 if jnp.dtype(times_obs.dtype).itemsize >= 8 else 1e-5
     k_oo = kernels_lib.gram_bank(
         times_obs, lengthscales, kernel=kernel, noise=noise,
         variance=variance, mask=mask_obs,
@@ -477,12 +482,16 @@ def posterior_sample(
     key: jax.Array,
     post: GPPosterior,
     num_samples: int = 1,
-    jitter: float = 1e-6,
+    jitter: float | None = None,
 ) -> jnp.ndarray:
     """Sample trajectories from a conditioned posterior -> [S, B, Tq, Z]
     (reference ``post_gp_sample`` with ``mean_or_sample='sample'``,
     src/Models/FullGP_and_GPdecoder_dynamic_time_analysis.py:96-111)."""
     b, z, tq, _ = post.cov.shape
+    if jitter is None:
+        jitter = (
+            1e-6 if jnp.dtype(post.cov.dtype).itemsize >= 8 else 1e-5
+        )
     cov = post.cov + jitter * jnp.eye(tq, dtype=post.cov.dtype)
     l = cholesky(cov)
     eps = jax.random.normal(key, (num_samples, b, z, tq), post.mean.dtype)

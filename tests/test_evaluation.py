@@ -58,3 +58,12 @@ def test_evaluate_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "nll_gp_impute" in out
     assert os.path.exists(tmp_path / "plots" / "latents.png")
+
+
+def test_evaluate_cli_with_traversal(tmp_path, capsys):
+    main([
+        "evaluate", "--preset", "syn_data", "--time-len", "10",
+        "--num-seqs", "24", "--eval-batch", "2",
+        "--plots", str(tmp_path / "p"), "--traversal", "1",
+    ])
+    assert os.path.exists(tmp_path / "p" / "traversal.png")
