@@ -76,6 +76,8 @@ def chol_and_inv(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """
     n, nb, _ = d.shape
     if nb <= pallas_chol.LANE_BATCH_MAX_T:
+        if jax.default_backend() == "tpu":
+            return pallas_chol.chol_inv_small_batched(d)
         l = _chol_diag_block(d)
         return l, pallas_tri.tri_inv_small_batched(l)
     h = nb // 2

@@ -68,6 +68,33 @@ def _chol_kernel(a_ref, l_ref):
     _chol_lane_body(a_ref[0], l_ref.at[0], t_pad)
 
 
+def _chol_inv_kernel(a_ref, l_ref, x_ref):
+    """Factor AND invert in one pass: after column j of L is final, row j of
+    X = L^{-1} follows by forward substitution using the already-written
+    rows (X rows >= j still zero, so the full contraction needs no mask)."""
+    t_pad = a_ref.shape[1]
+    a = a_ref[0]
+    lv = l_ref.at[0]
+    xv = x_ref.at[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
+    xv[...] = jnp.zeros_like(a)
+    # zero-init L too: the substitution row-read below contracts the full
+    # row (cols > j are multiplied by zero X rows, but stale NaNs would
+    # still poison the product)
+    lv[...] = jnp.zeros_like(a)
+    for j in range(t_pad):
+        d = jax.lax.rsqrt(jnp.maximum(a[j, j, :], _DIAG_EPS))  # [L]
+        col = a[:, j, :] * d[None, :]
+        col = jnp.where(rows >= j, col, 0.0)
+        lv[:, j, :] = col
+        a = a - col[:, None, :] * col[None, :, :]
+        # row j of L is now final: L[j, i] for i <= j
+        l_row = lv[j, :, :]                                    # [T, L]
+        acc = jnp.sum(l_row[:, None, :] * xv[...], axis=0)     # [T, L]
+        onehot = (rows == j).astype(col.dtype)
+        xv[j, :, :] = (onehot - acc) * d[None, :]
+
+
 @functools.partial(jax.jit, static_argnames=("lower_only",))
 def chol_small_batched(k: jnp.ndarray, lower_only: bool = True) -> jnp.ndarray:
     """Batched Cholesky ``L`` of PSD ``k`` with shape ``[N, T, T]``, T <= 64.
@@ -120,6 +147,54 @@ def chol_small_batched(k: jnp.ndarray, lower_only: bool = True) -> jnp.ndarray:
     if lower_only:
         l = jnp.tril(l)
     return l
+
+
+@jax.jit
+def chol_inv_small_batched(
+    k: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(L, L^{-1}) of batched PSD ``k [N, T, T]``, T <= 64, in ONE kernel —
+    the factor and its inverse share the column recurrence, halving kernel
+    launches and layout transposes vs chol_small_batched + tri_inv."""
+    n, t, t2 = k.shape
+    assert t == t2, k.shape
+    if t > LANE_BATCH_MAX_T:
+        raise ValueError(f"T={t} > {LANE_BATCH_MAX_T}")
+    t_pad = max(_round_up(t, 8), 8)
+    lanes = _lanes_for(t_pad)
+    n_pad = _round_up(max(n, 1), lanes)
+    kp = k.astype(jnp.float32)
+    if t_pad != t:
+        eye = jnp.eye(t_pad, dtype=jnp.float32)
+        kp = jnp.pad(kp, ((0, 0), (0, t_pad - t), (0, t_pad - t)))
+        pad_mask = (jnp.arange(t_pad) >= t).astype(jnp.float32)
+        kp = kp + eye * pad_mask[None, None, :]
+    if n_pad != n:
+        pad_block = jnp.broadcast_to(
+            jnp.eye(t_pad, dtype=jnp.float32), (n_pad - n, t_pad, t_pad)
+        )
+        kp = jnp.concatenate([kp, pad_block], axis=0)
+    g = n_pad // lanes
+    kt = jnp.transpose(kp.reshape(g, lanes, t_pad, t_pad), (0, 2, 3, 1))
+    spec = pl.BlockSpec((1, t_pad, t_pad, lanes), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    l_out, x_out = pl.pallas_call(
+        _chol_inv_kernel,
+        grid=(g,),
+        in_specs=[spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, t_pad, t_pad, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((g, t_pad, t_pad, lanes), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(kt)
+
+    def unpack(o):
+        o = jnp.transpose(o, (0, 3, 1, 2)).reshape(n_pad, t_pad, t_pad)
+        return jnp.tril(o[:n, :t, :t])
+
+    return unpack(l_out), unpack(x_out)
 
 
 # ---------------------------------------------------------------------------

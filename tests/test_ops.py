@@ -128,3 +128,17 @@ def test_logdet_from_chol_masked_padding_contributes_zero():
     np.testing.assert_allclose(
         np.asarray(ld_m), np.asarray(ld_s), atol=1e-10
     )
+
+
+def test_chol_inv_fused_kernel():
+    from gpvae_tpu.ops.pallas_chol import chol_inv_small_batched
+
+    rng = np.random.default_rng(11)
+    k = random_psd(rng, 5, 40)
+    l, x = chol_inv_small_batched(jnp.asarray(k, jnp.float32))
+    want_l = np.linalg.cholesky(k)
+    np.testing.assert_allclose(np.asarray(l), want_l, rtol=2e-4, atol=2e-4)
+    roundtrip = np.asarray(x) @ want_l
+    np.testing.assert_allclose(
+        roundtrip, np.broadcast_to(np.eye(40), roundtrip.shape), atol=5e-4
+    )
