@@ -42,6 +42,16 @@ from gpvae_tpu.ops import (
 )
 from gpvae_tpu.ops.chol import cholesky_bwd_from_l
 
+# None = auto (TPU and T <= lane-kernel max); tests override to exercise the
+# inverse-routed KL paths in interpreter mode on CPU
+FORCE_INVERSE_PATH: bool | None = None
+
+
+def _inverse_path(t: int) -> bool:
+    if FORCE_INVERSE_PATH is not None:
+        return FORCE_INVERSE_PATH and t <= LANE_BATCH_MAX_T
+    return jax.default_backend() == "tpu" and t <= LANE_BATCH_MAX_T
+
 
 # ---------------------------------------------------------------------------
 # Differentiable fused gram-bank Cholesky
@@ -151,7 +161,7 @@ def gp_kl(
     if mask is not None:
         mu = mu * mask.astype(mu.dtype)[..., None]
     b, t = mu.shape[0], mu.shape[-2]
-    if jax.default_backend() == "tpu" and t <= LANE_BATCH_MAX_T:
+    if _inverse_path(t):
         # ONE lane-batched inverse of L_p, applied by MXU matmuls to both
         # the trace term and the quad term (vs two separate trsm/inversions)
         from gpvae_tpu.ops import pallas_tri
@@ -212,7 +222,7 @@ def gp_prior_diag_kl(
         mu = mu * m
         log_var = log_var * m  # masked -> log v = 0 -> v = 1
     b, t = mu.shape[0], mu.shape[-2]
-    if jax.default_backend() == "tpu" and t <= LANE_BATCH_MAX_T:
+    if _inverse_path(t):
         # W = L^{-1} I is literally the triangular inverse: one lane-batched
         # kernel call, reused for both the trace diag and the quad term
         from gpvae_tpu.ops import pallas_tri
