@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from gpvae_tpu import kernels as kernels_lib
 from gpvae_tpu.ops import (
     cholesky,
+    dispatch,
     gram_chol_fused,
     logdet_from_chol,
     solve_triangular,
@@ -50,7 +51,7 @@ FORCE_INVERSE_PATH: bool | None = None
 def _inverse_path(t: int) -> bool:
     if FORCE_INVERSE_PATH is not None:
         return FORCE_INVERSE_PATH and t <= LANE_BATCH_MAX_T
-    return jax.default_backend() == "tpu" and t <= LANE_BATCH_MAX_T
+    return dispatch.on_tpu() and t <= LANE_BATCH_MAX_T
 
 
 # ---------------------------------------------------------------------------
@@ -116,7 +117,7 @@ def chol_gram_bank(
     variance = jnp.asarray(variance, jnp.float32)
     t = times.shape[-1]
     if (
-        jax.default_backend() == "tpu"
+        dispatch.on_tpu()
         and t <= LANE_BATCH_MAX_T
         and kernel in kernels_lib.KERNELS
     ):

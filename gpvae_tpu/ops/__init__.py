@@ -11,6 +11,7 @@ bundled C++/Eigen kernels (SURVEY.md §2.3):
 * ``tf.matrix_determinant``  -> same logdet-via-Cholesky path
 * ``L @ eps`` sampling matmul-> fused on-MXU in gp.py
 """
+from gpvae_tpu.ops import dispatch
 from gpvae_tpu.ops.chol import cholesky, cholesky_blocked, cholesky_xla
 from gpvae_tpu.ops.pallas_chol import (
     chol_small_batched,
@@ -21,6 +22,7 @@ from gpvae_tpu.ops.trsm import solve_triangular
 from gpvae_tpu.ops.logdet import logdet_from_chol, chol_logdet, slogdet_psd
 
 __all__ = [
+    "dispatch",
     "cholesky",
     "cholesky_blocked",
     "cholesky_xla",

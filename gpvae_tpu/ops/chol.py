@@ -30,7 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from gpvae_tpu.ops import pallas_chol, pallas_tri
+from gpvae_tpu.ops import dispatch, pallas_chol, pallas_tri
 from gpvae_tpu.ops.trsm import solve_triangular
 
 
@@ -45,8 +45,11 @@ def cholesky_xla(k: jnp.ndarray) -> jnp.ndarray:
 
 def _chol_diag_block(d: jnp.ndarray) -> jnp.ndarray:
     """Factor a batch of small diagonal blocks [N, nb, nb]."""
-    if jax.default_backend() == "tpu" or d.shape[-1] <= pallas_chol.LANE_BATCH_MAX_T:
+    if d.shape[-1] <= pallas_chol.LANE_BATCH_MAX_T:
         return pallas_chol.chol_small_batched(d)
+    if dispatch.on_tpu():
+        # wide blocks: recursive split over the 64-wide lane kernels
+        return chol_and_inv(d)[0]
     return cholesky_xla(d)
 
 
@@ -76,7 +79,7 @@ def chol_and_inv(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """
     n, nb, _ = d.shape
     if nb <= pallas_chol.LANE_BATCH_MAX_T:
-        if jax.default_backend() == "tpu":
+        if dispatch.on_tpu():
             return pallas_chol.chol_inv_small_batched(d)
         l = _chol_diag_block(d)
         return l, pallas_tri.tri_inv_small_batched(l)
@@ -133,7 +136,7 @@ def cholesky_blocked(
         d = s[:, :nb, :nb]
         rest = s[:, nb:, :nb]                                 # [N, R-nb, nb]
         # X L_d^T = rest  =>  X = rest L_d^{-T}
-        if panel_via_inverse and jax.default_backend() == "tpu":
+        if panel_via_inverse and dispatch.on_tpu():
             ld, ld_inv = chol_and_inv(d)
             x = jnp.einsum(
                 "nrk,njk->nrj", rest, ld_inv,
@@ -174,7 +177,7 @@ def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
     t = k.shape[-1]
     batch_shape = k.shape[:-2]
     if method == "auto":
-        if jax.default_backend() == "tpu":
+        if dispatch.on_tpu():
             method = "pallas" if t <= pallas_chol.LANE_BATCH_MAX_T else "blocked"
         else:
             method = "xla"
@@ -204,7 +207,7 @@ def cholesky_bwd_from_l(l: jnp.ndarray, l_bar: jnp.ndarray) -> jnp.ndarray:
     """
     p = _phi(jnp.einsum("...ji,...jk->...ik", l, l_bar))
     w = 0.5 * (p + jnp.swapaxes(p, -1, -2))
-    if jax.default_backend() == "tpu" and l.shape[-1] <= pallas_tri.MAX_NB:
+    if dispatch.on_tpu() and l.shape[-1] <= pallas_tri.MAX_NB:
         # one lane-batched inverse, two MXU matmuls: K_bar = X^T w X
         x = pallas_tri.tri_inv(l)
         kbar = jnp.einsum(

@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gpvae_tpu import kernels as kernels_lib
+from gpvae_tpu.ops import dispatch
 
 LANES = 128
 # [T, T, LANES] fp32 working set must fit VMEM (~16 MB): 3 copies at T=64 is
@@ -47,7 +48,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    return not dispatch.on_tpu()
 
 
 def _chol_lane_body(a, l_ref, t_pad):
@@ -95,13 +96,22 @@ def _chol_inv_kernel(a_ref, l_ref, x_ref):
         xv[j, :, :] = (onehot - acc) * d[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("lower_only",))
 def chol_small_batched(k: jnp.ndarray, lower_only: bool = True) -> jnp.ndarray:
     """Batched Cholesky ``L`` of PSD ``k`` with shape ``[N, T, T]``, T <= 64.
 
     Pads T to a multiple of 8 (identity padding) and N to a multiple of 128,
     runs the lane-batched kernel, and strips padding.  fp32 in, fp32 out.
     """
+    # interpret resolved OUTSIDE the jit so the trace cache keys on it —
+    # the same shapes may be traced for a CPU mesh and the real TPU in one
+    # process (dispatch.compute_on)
+    return _chol_small_batched_jit(k, lower_only, _interpret())
+
+
+@functools.partial(jax.jit, static_argnames=("lower_only", "interpret"))
+def _chol_small_batched_jit(
+    k: jnp.ndarray, lower_only: bool, interpret: bool
+) -> jnp.ndarray:
     n, t, t2 = k.shape
     assert t == t2, k.shape
     if t > LANE_BATCH_MAX_T:
@@ -140,7 +150,7 @@ def chol_small_batched(k: jnp.ndarray, lower_only: bool = True) -> jnp.ndarray:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, t_pad, t_pad, lanes),
                                        jnp.float32),
-        interpret=_interpret(),
+        interpret=interpret,
     )(kt)
     l = jnp.transpose(out, (0, 3, 1, 2)).reshape(n_pad, t_pad, t_pad)
     l = l[:n, :t, :t]
@@ -149,13 +159,19 @@ def chol_small_batched(k: jnp.ndarray, lower_only: bool = True) -> jnp.ndarray:
     return l
 
 
-@jax.jit
 def chol_inv_small_batched(
     k: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(L, L^{-1}) of batched PSD ``k [N, T, T]``, T <= 64, in ONE kernel —
     the factor and its inverse share the column recurrence, halving kernel
     launches and layout transposes vs chol_small_batched + tri_inv."""
+    return _chol_inv_small_batched_jit(k, _interpret())
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _chol_inv_small_batched_jit(
+    k: jnp.ndarray, interpret: bool
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     n, t, t2 = k.shape
     assert t == t2, k.shape
     if t > LANE_BATCH_MAX_T:
@@ -187,7 +203,7 @@ def chol_inv_small_batched(
             jax.ShapeDtypeStruct((g, t_pad, t_pad, lanes), jnp.float32),
             jax.ShapeDtypeStruct((g, t_pad, t_pad, lanes), jnp.float32),
         ),
-        interpret=_interpret(),
+        interpret=interpret,
     )(kt)
 
     def unpack(o):
@@ -224,9 +240,10 @@ def _make_gram_chol_kernel(kernel_name: str, noise: float, t_pad: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kernel", "noise", "t")
+    jax.jit, static_argnames=("kernel", "noise", "t", "interpret")
 )
-def _gram_chol_fused_impl(times, ls, mask, var, *, kernel, noise, t):
+def _gram_chol_fused_impl(times, ls, mask, var, *, kernel, noise, t,
+                          interpret):
     """times/ls/mask/var all ``[N]``-leading flat layout; see wrapper."""
     # grouped layout [G, ..., lanes] (see chol_small_batched)
     g, t_pad, lanes = times.shape
@@ -249,7 +266,7 @@ def _gram_chol_fused_impl(times, ls, mask, var, *, kernel, noise, t):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, t_pad, t_pad, lanes),
                                        jnp.float32),
-        interpret=_interpret(),
+        interpret=interpret,
     )(times, ls, mask, var)
     return out  # [G, T_pad, T_pad, lanes]
 
@@ -328,7 +345,7 @@ def gram_chol_fused(
 
     out = _gram_chol_fused_impl(
         group(tt), group(ls[:, None]), group(mk), group(var[:, None]),
-        kernel=kernel, noise=noise, t=t_pad,
+        kernel=kernel, noise=noise, t=t_pad, interpret=_interpret(),
     )
     l = jnp.transpose(out, (0, 3, 1, 2)).reshape(n_pad, t_pad, t_pad)
     l = l[:n, :t, :t]

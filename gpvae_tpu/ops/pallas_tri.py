@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gpvae_tpu.ops import dispatch
+
 LANES = 128
 MAX_NB = 64
 
@@ -31,7 +33,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    return not dispatch.on_tpu()
 
 
 def _tri_inv_kernel(l_ref, x_ref):
@@ -91,9 +93,14 @@ def _tri_inv_bwd(x, x_bar):
 tri_inv.defvjp(_tri_inv_fwd, _tri_inv_bwd)
 
 
-@jax.jit
 def tri_inv_small_batched(l: jnp.ndarray) -> jnp.ndarray:
     """Inverse of batched lower-triangular ``l [N, nb, nb]``, nb <= 64."""
+    # interpret resolved outside the jit so the trace cache keys on it
+    return _tri_inv_small_batched_jit(l, _interpret())
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _tri_inv_small_batched_jit(l: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     n, nb, nb2 = l.shape
     assert nb == nb2, l.shape
     if nb > MAX_NB:
@@ -125,7 +132,7 @@ def tri_inv_small_batched(l: jnp.ndarray) -> jnp.ndarray:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, nb_pad, nb_pad, lanes),
                                        jnp.float32),
-        interpret=_interpret(),
+        interpret=interpret,
     )(lt)
     x = jnp.transpose(out, (0, 3, 1, 2)).reshape(n_pad, nb_pad, nb_pad)
     return jnp.tril(x[:n, :nb, :nb])

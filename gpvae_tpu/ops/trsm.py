@@ -27,7 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from gpvae_tpu.ops import pallas_tri
+from gpvae_tpu.ops import dispatch, pallas_tri
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -50,7 +50,7 @@ def solve_triangular(
     nb = a.shape[-1]
     if via_inverse is None:
         via_inverse = (
-            jax.default_backend() == "tpu"
+            dispatch.on_tpu()
             and lower
             and nb <= pallas_tri.MAX_NB
         )

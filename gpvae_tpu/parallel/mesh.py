@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gpvae_tpu import elbo as elbo_lib
 from gpvae_tpu.models import GPVAE
+from gpvae_tpu.ops import dispatch
 from gpvae_tpu.train import TrainState
 
 import optax
@@ -104,9 +105,18 @@ def make_parallel_train_step(
         return new_state, metrics
 
     batch_shardings = {"x": data, "times": data, "mask": data}
-    return jax.jit(
+    jitted = jax.jit(
         step_fn,
         in_shardings=(repl, batch_shardings),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+    def run(state: TrainState, batch: dict):
+        # dispatch must follow the mesh's devices, not the global default
+        # backend — tracing happens inside the first call, so the override
+        # is active exactly when the backend-sensitive ops resolve
+        with dispatch.compute_on(mesh):
+            return jitted(state, batch)
+
+    return run

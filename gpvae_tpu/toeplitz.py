@@ -56,8 +56,8 @@ def _durbin_scan(rho: jnp.ndarray):
         return (y_new, rev_new, e_new), jnp.log(e_new)
 
     init = (jnp.zeros_like(rho), jnp.zeros_like(rho), jnp.asarray(1.0, rho.dtype))
-    (y, rev_y, _), log_e = jax.lax.scan(step, init, jnp.arange(t1))
-    return log_e, y, rev_y
+    (y, rev_y, e), log_e = jax.lax.scan(step, init, jnp.arange(t1))
+    return log_e, y, rev_y, e
 
 
 @jax.jit
@@ -76,10 +76,65 @@ def durbin_logdet(row: jnp.ndarray) -> jnp.ndarray:
     def one(r):
         r0 = r[0]
         rho = r[1:] / r0
-        log_e, _, _ = _durbin_scan(rho)
+        log_e, _, _, _ = _durbin_scan(rho)
         return t * jnp.log(r0) + jnp.sum(log_e)
 
     return jax.vmap(one)(flat).reshape(batch)
+
+
+def tri_toeplitz(col: jnp.ndarray) -> jnp.ndarray:
+    """Dense lower-triangular Toeplitz ``[..., T, T]`` from its first column
+    ``[..., T]`` (materialized once; multiplication then rides the MXU)."""
+    t = col.shape[-1]
+    i = jnp.arange(t)[:, None]
+    j = jnp.arange(t)[None, :]
+    idx = jnp.clip(i - j, 0, t - 1)
+    return jnp.where(i >= j, col[..., idx], jnp.zeros((), col.dtype))
+
+
+@jax.jit
+def durbin_gs_factors(
+    row: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Log-determinant + Gohberg-Semencul inverse representation of the
+    symmetric PD Toeplitz matrix with first row ``row [..., T]``.
+
+    Returns ``(logdet, a, b, e)`` with
+
+        K^{-1} = (1/e) (A A^T - B B^T)
+
+    where ``A``/``B`` are the lower-triangular Toeplitz matrices with first
+    columns ``a = (1, y_1..y_{T-1})`` and ``b = (0, y_{T-1}..y_1)`` built
+    from the final Durbin (Yule-Walker) solution ``y``, and ``e`` is the
+    final unnormalized prediction-error variance.  One O(T^2) scan yields
+    the logdet AND an O(T^2)-to-build exact inverse whose application is
+    pure MXU matmuls — this is what replaces the O(T^3) sequential prior
+    Cholesky for uniform grids (BASELINE.json config 3; all reference MNIST
+    grids are uniform, src/Models/Full_GP_VAE_fixed_for_MovMnist.py:280).
+    """
+    row = jnp.asarray(row)
+    batch = row.shape[:-1]
+    t = row.shape[-1]
+    flat = row.reshape((-1, t))
+
+    def one(r):
+        r0 = r[0]
+        rho = r[1:] / r0
+        log_e, y, rev_y, e = _durbin_scan(rho)
+        logdet = t * jnp.log(r0) + jnp.sum(log_e)
+        one_ = jnp.ones((1,), r.dtype)
+        zero = jnp.zeros((1,), r.dtype)
+        a = jnp.concatenate([one_, y])
+        b = jnp.concatenate([zero, rev_y])
+        return logdet, a, b, r0 * e
+
+    logdet, a, b, e = jax.vmap(one)(flat)
+    return (
+        logdet.reshape(batch),
+        a.reshape(batch + (t,)),
+        b.reshape(batch + (t,)),
+        e.reshape(batch),
+    )
 
 
 @jax.jit
