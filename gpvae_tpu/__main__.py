@@ -46,11 +46,24 @@ def _load_batches(args, preset):
     """Build (train_batcher, eval_arrays) for the preset's data family."""
     import jax
     from gpvae_tpu.data import (
-        Batcher, MovingMNIST, generate_toy_data, synthetic_moving_mnist,
-        toy_to_masked_batch,
+        Batcher, MovingMNIST, generate_toy_data, load_toy_file,
+        make_healing_batch, synthetic_moving_mnist, toy_to_masked_batch,
     )
 
-    if preset.model.encoder == "conv":
+    family = preset.resolved_data_family
+    if family == "healing":
+        # missing-pixel regime: the feature_mask must travel with every
+        # batch or the NLL trains the model to predict the zero fill
+        batch = make_healing_batch(
+            args.num_seqs, t=preset.model.time_len,
+            size=preset.model.image_shape[0], seed=args.seed,
+        )
+        n_train = int(0.9 * batch["x"].shape[0])
+        train_keys = ("x", "times", "mask", "feature_mask")
+        train = {k: batch[k][:n_train] for k in train_keys}
+        test = {k: v[n_train:] for k, v in batch.items()}
+        return Batcher(train, preset.batch_size, seed=args.seed), test
+    if family == "mnist":
         h = preset.model.image_shape[0]
         if args.data:
             ds = MovingMNIST(args.data, batch_size=preset.batch_size)
@@ -62,8 +75,9 @@ def _load_batches(args, preset):
             ds = MovingMNIST(data=vids, batch_size=preset.batch_size)
         return ds.batchers["train"], ds.splits.get("test")
     if args.data:
-        loaded = dict(np.load(args.data))
-        batch = toy_to_masked_batch(loaded)
+        # .npz from generate-data, or the reference's joblib pickle
+        # (toy_data_v3.pkl, src/Models/syndata/GP_VAE_syn_data.py:278)
+        batch = toy_to_masked_batch(load_toy_file(args.data))
     else:
         data = generate_toy_data(
             jax.random.key(args.seed), args.num_seqs,

@@ -21,10 +21,20 @@ class Preset:
     train: TrainConfig
     batch_size: int
     description: str = ""
+    # which data pipeline the CLI builds: "toy" (masked GP draws),
+    # "mnist" (video frames), or "healing" (missing-pixel regime with
+    # per-feature masks).  None = infer from the encoder type.
+    data_family: str | None = None
+
+    @property
+    def resolved_data_family(self) -> str:
+        if self.data_family is not None:
+            return self.data_family
+        return "mnist" if self.model.encoder == "conv" else "toy"
 
 
-def _p(name, model, train, batch_size, description=""):
-    return Preset(name, model, train, batch_size, description)
+def _p(name, model, train, batch_size, description="", **kw):
+    return Preset(name, model, train, batch_size, description, **kw)
 
 
 _MNIST_CONV = dict(
@@ -158,6 +168,7 @@ register(_p(
     description="BASELINE config 2: healing-MNIST-style missing-pixel "
     "imputation, Cauchy kernel, short sequences (the GP-VAE paper's "
     "benchmark; the reference repo itself has no healing-MNIST script)",
+    data_family="healing",
 ))
 register(_p(
     "sparse_t4096",

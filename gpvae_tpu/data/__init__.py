@@ -3,6 +3,7 @@ fixed-shape mask-based batcher that replaces the reference's ragged
 flatten/pad/slice machinery (src/Models/DataHandler.py)."""
 from gpvae_tpu.data.synthetic import (
     generate_toy_data,
+    load_toy_file,
     toy_to_masked_batch,
     TOY_TIME_GRID,
 )
@@ -16,6 +17,7 @@ from gpvae_tpu.data.moving_mnist import MovingMNIST, synthetic_moving_mnist
 
 __all__ = [
     "generate_toy_data",
+    "load_toy_file",
     "toy_to_masked_batch",
     "TOY_TIME_GRID",
     "Batcher",

@@ -38,13 +38,20 @@ class Batcher:
     def __iter__(self):
         return self
 
-    def __next__(self) -> dict:
+    def next_indices(self) -> np.ndarray:
+        """The next batch's row indices (same wrap/reshuffle semantics as
+        ``__next__``).  Lets a device-resident training loop gather batches
+        on-chip: only these [batch_size] ints cross the host boundary."""
         if self._pos + self.batch_size > self.n:
             if self.shuffle:
                 self._rng.shuffle(self._order)
             self._pos = 0
         idx = self._order[self._pos:self._pos + self.batch_size]
         self._pos += self.batch_size
+        return idx
+
+    def __next__(self) -> dict:
+        idx = self.next_indices()
         out = {}
         for k, v in self.arrays.items():
             if v.dtype == np.float32 and native.have_native():

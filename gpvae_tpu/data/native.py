@@ -74,6 +74,7 @@ def _load():
         ]
         lib.gpvae_prefetcher_create.restype = ctypes.c_void_p
         lib.gpvae_prefetcher_next.argtypes = [ctypes.c_void_p, c_f32p]
+        lib.gpvae_prefetcher_next.restype = ctypes.c_int
         lib.gpvae_prefetcher_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
@@ -163,6 +164,11 @@ class NativePrefetcher:
         self._lib = lib
         # keep a reference: the C++ side borrows this buffer
         self._data = np.ascontiguousarray(data, dtype=np.float32)
+        if not (0 < batch_size <= self._data.shape[0]):
+            raise ValueError(
+                f"batch_size={batch_size} must be in "
+                f"[1, {self._data.shape[0]}] (dataset size)"
+            )
         self.batch_size = batch_size
         self._item_shape = self._data.shape[1:]
         self._handle = lib.gpvae_prefetcher_create(
@@ -170,12 +176,18 @@ class NativePrefetcher:
             int(np.prod(self._item_shape)), batch_size, seed,
             int(shuffle), depth,
         )
+        if not self._handle:
+            raise RuntimeError("gpvae_prefetcher_create rejected arguments")
 
     def __next__(self) -> np.ndarray:
+        if not self._handle:
+            raise StopIteration
         out = np.empty((self.batch_size,) + self._item_shape, np.float32)
-        self._lib.gpvae_prefetcher_next(
+        ok = self._lib.gpvae_prefetcher_next(
             self._handle, _ptr(out, ctypes.c_float)
         )
+        if not ok:  # prefetcher stopped (closed concurrently)
+            raise StopIteration
         return out
 
     def __iter__(self):

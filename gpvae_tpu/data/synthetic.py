@@ -111,6 +111,38 @@ def generate_toy_data(
     }
 
 
+def load_toy_file(path: str) -> dict:
+    """Load a toy dataset file in any of the supported on-disk formats:
+
+    * ``.npz`` written by ``python -m gpvae_tpu generate-data``;
+    * the reference's joblib pickle ``toy_data_v3.pkl``
+      (src/gen_data/simulate_toy_data.py:70-71, loaded by the reference
+      trainer at src/Models/syndata/GP_VAE_syn_data.py:278) — a dict with
+      ``x`` as a *list* of per-sequence ``[obs_dim, T]`` sentinel arrays,
+      plus ``f``/``time``/``p``.
+
+    Returns a dict of numpy arrays (lists stacked along a leading N axis)
+    ready for :func:`toy_to_masked_batch`.
+    """
+    if path.endswith(".npz"):
+        with np.load(path, allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}
+    try:
+        import joblib
+        data = joblib.load(path)
+    except ImportError:
+        import pickle
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+    out = {}
+    for k, v in dict(data).items():
+        arr = np.stack([np.asarray(s) for s in v]) if isinstance(
+            v, (list, tuple)
+        ) else np.asarray(v)
+        out[k] = arr
+    return out
+
+
 def toy_to_masked_batch(data: dict) -> dict:
     """Convert generator output (or a reference-format pickle with
     ``x [N, obs_dim, T]`` sentinel arrays) to the framework batch format:

@@ -84,14 +84,18 @@ def _chol_gram_bank_bwd(kernel, noise, res, l_bar):
     times, lengthscales, mask, variance, l = res
     k_bar = cholesky_bwd_from_l(l, l_bar)
 
-    def gram_fn(ls, var):
+    def gram_fn(tt, ls, var):
         return kernels_lib.gram_bank(
-            times, ls, kernel=kernel, noise=noise, variance=var, mask=mask
+            tt, ls, kernel=kernel, noise=noise, variance=var, mask=mask
         )
 
-    _, vjp = jax.vjp(gram_fn, lengthscales, variance)
-    ls_bar, var_bar = vjp(k_bar)
-    return (jnp.zeros_like(times), ls_bar, None, var_bar)
+    # times gets its true cotangent (not a silent zero): callers that treat
+    # times as data pay nothing — XLA dead-code-eliminates the unused
+    # branch — while any future model differentiating through observation
+    # times (learned time warps) gets correct gradients.
+    _, vjp = jax.vjp(gram_fn, times, lengthscales, variance)
+    times_bar, ls_bar, var_bar = vjp(k_bar)
+    return (times_bar, ls_bar, None, var_bar)
 
 
 _chol_gram_bank_p.defvjp(_chol_gram_bank_fwd, _chol_gram_bank_bwd)
@@ -387,10 +391,15 @@ def recog_sample(
     mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """GP-recognition sampler ``z = mu + (L + diag(sqrt(v))) eps``
-    (src/Models/GP_recog_VAE_prior.py:155-166) -> [S, B, T, Z]."""
-    b, z, t, _ = l_q.shape
+    (src/Models/GP_recog_VAE_prior.py:155-166) -> [S, B, T, Z].
+
+    ``l_q`` with leading dim 1 (shared fixed-grid factor) broadcasts against
+    the per-sequence ``diag(sqrt(v))``; the noise batch size always follows
+    ``mu`` so every sequence gets an independent draw."""
+    b = mu.shape[0]
+    _, z, t, _ = l_q.shape
     sqrt_v = jnp.exp(0.5 * jnp.swapaxes(log_var, -1, -2))  # [B, Z, T]
-    c = l_q + _batch_diag(sqrt_v)
+    c = l_q + _batch_diag(sqrt_v)                          # broadcasts to B
     eps = jax.random.normal(key, (num_samples, b, z, t), dtype=mu.dtype)
     corr = jnp.einsum(
         "bzij,sbzj->sbiz", c, eps, preferred_element_type=jnp.float32

@@ -169,16 +169,83 @@ def cholesky_blocked(
     return l[:, :t, :t]
 
 
+def cholesky_blocked_left(
+    k: jnp.ndarray, block_size: int = 128
+) -> jnp.ndarray:
+    """Left-looking blocked batched Cholesky for ``k [N, T, T]``, large T.
+
+    The right-looking variant (``cholesky_blocked``) re-materializes the
+    [N, R, R] trailing submatrix in HBM at every block step — measured to
+    dominate the T=1024 factorization (docs/DESIGN.md).  The left-looking
+    order instead *reads* the already-final column-block history (slices
+    fuse into the MXU dot operands) and writes each column block exactly
+    once via ``dynamic_update_slice`` (in-place for XLA): per-step traffic
+    is read-only history + one panel write, roughly halving HBM traffic
+    and eliminating the defensive whole-submatrix copies.
+    """
+    n, t, _ = k.shape
+    if t <= pallas_chol.LANE_BATCH_MAX_T:
+        return _chol_diag_block(k.astype(jnp.float32))
+    nb = block_size
+    num_blocks = -(-t // nb)
+    t_pad = num_blocks * nb
+    if t_pad != t:
+        pad = t_pad - t
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, pad)))
+        diag_pad = (jnp.arange(t_pad) >= t).astype(k.dtype)
+        k = k + jnp.eye(t_pad, dtype=k.dtype) * diag_pad[None, None, :]
+    k = k.astype(jnp.float32)
+
+    l = jnp.zeros((n, t_pad, t_pad), jnp.float32)
+    for b in range(num_blocks):
+        o = b * nb
+        panel = k[:, o:, o:o + nb]                           # [N, R, nb]
+        if b > 0:
+            hist = jax.lax.slice(l, (0, o, 0), (n, t_pad, o))
+            rowblk = jax.lax.slice(l, (0, o, 0), (n, o + nb, o))
+            panel = panel - jnp.einsum(
+                "nrk,njk->nrj", hist, rowblk,
+                preferred_element_type=jnp.float32, precision=_HI,
+            )
+        if dispatch.on_tpu():
+            ld, ld_inv = chol_and_inv(panel[:, :nb, :])
+            x = jnp.einsum(
+                "nrk,njk->nrj", panel[:, nb:, :], ld_inv,
+                preferred_element_type=jnp.float32, precision=_HI,
+            )
+        else:
+            ld = _chol_diag_block(panel[:, :nb, :])
+            x = solve_triangular(
+                ld, panel[:, nb:, :],
+                left_side=False, lower=True, transpose_a=True,
+            )
+        col = jnp.concatenate([ld, x], axis=1)               # [N, R, nb]
+        l = jax.lax.dynamic_update_slice(l, col, (0, o, o))
+    return l[:, :t, :t]
+
+
 # ---------------------------------------------------------------------------
 # Dispatch + custom VJP
 # ---------------------------------------------------------------------------
+
+# measured crossover on v5e (see benchmarks/bench_chol_variants.py and
+# docs/DESIGN.md): the right-looking form wins at mid T (2.40 vs 1.61
+# TFLOP/s at T=256 N=512), the left-looking form wins at large T where the
+# re-materialized trailing submatrix dominates (5.14 vs 3.06 at T=1024)
+LEFT_LOOKING_MIN_T = 512
+
 
 def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
     t = k.shape[-1]
     batch_shape = k.shape[:-2]
     if method == "auto":
         if dispatch.on_tpu():
-            method = "pallas" if t <= pallas_chol.LANE_BATCH_MAX_T else "blocked"
+            if t <= pallas_chol.LANE_BATCH_MAX_T:
+                method = "pallas"
+            elif t < LEFT_LOOKING_MIN_T:
+                method = "blocked"
+            else:
+                method = "blocked_left"
         else:
             method = "xla"
     if method == "xla":
@@ -188,6 +255,11 @@ def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
         lb = pallas_chol.chol_small_batched(kb)
     elif method == "blocked":
         lb = cholesky_blocked(kb)
+    elif method == "blocked_left":
+        lb = cholesky_blocked_left(kb)
+    elif method == "whole":
+        from gpvae_tpu.ops import pallas_chol_big
+        lb = pallas_chol_big.chol_whole_batched(kb)
     else:
         raise ValueError(f"unknown cholesky method {method!r}")
     return lb.reshape(batch_shape + (t, t))

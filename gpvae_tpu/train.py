@@ -62,8 +62,19 @@ class TrainConfig:
     # >1: run this many optimizer steps per jitted call (a lax.scan over a
     # stacked super-batch).  Amortizes per-call dispatch — essential when
     # the device is remote (per-step dispatch caps wall throughput far below
-    # chip throughput) and useful everywhere
-    steps_per_call: int = 1
+    # chip throughput) and useful everywhere.  None = auto: on TPU, 64 when
+    # the dataset is device-resident (one small index upload per call) and
+    # 16 when batches must be staged from the host each call; 1 elsewhere.
+    steps_per_call: int | None = None
+
+    def resolved_steps_per_call(self, device_resident: bool = False) -> int:
+        if self.steps_per_call is not None:
+            return max(1, self.steps_per_call)
+        if jax.default_backend() == "tpu":
+            k = 64 if device_resident else 16
+        else:
+            k = 1
+        return max(1, min(k, self.num_steps))
 
 
 def create_train_state(
@@ -102,6 +113,7 @@ def _build_step_fn(
                 {"params": params},
                 batch["x"], batch["times"], batch["mask"],
                 beta=beta,
+                feature_mask=batch.get("feature_mask"),
                 rngs={"sample": sample_key},
             )
             return out.loss, out
@@ -119,7 +131,8 @@ def _build_step_fn(
             # lengthscale trajectories are a first-class observable
             # (reference prints them every 500 steps, …:370-371)
             **{
-                f"lengthscale_{name}": jnp.exp(state.params[name])
+                "lengthscale_" + name.removesuffix("_log_ls"):
+                    jnp.exp(state.params[name])
                 for name in ("posterior_log_ls", "prior_log_ls")
                 if name in state.params
             },
@@ -162,6 +175,40 @@ def make_multi_step(
             s, metrics = inner(s, b)
             return s, metrics
         state, metrics = jax.lax.scan(body, state, batches)
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return state, last
+
+    return jax.jit(multi_fn, donate_argnums=(0,))
+
+
+def make_sampled_multi_step(
+    model: GPVAE,
+    tx: optax.GradientTransformation,
+    beta_schedule: elbo_lib.BetaSchedule,
+    arrays: dict,
+) -> Callable[[TrainState, Any], tuple[TrainState, dict]]:
+    """Multi-step trainer over a device-resident dataset.
+
+    The full training arrays live on the device (closed over as jit
+    constants); each call takes only an ``idx [k, B]`` int array, gathers
+    the super-batch on-chip, and scans ``k`` optimizer steps — so one
+    remote dispatch plus a few KB of indices buys ``k`` steps, instead of
+    staging ``k`` full batches through the host tunnel every call (measured
+    ~10x wall-clock on this image's remote device).
+    """
+    inner = _build_step_fn(model, tx, beta_schedule)
+    dev = {
+        key: jnp.asarray(v, jnp.float32 if key == "times" else None)
+        for key, v in arrays.items()
+        if key in _BATCH_KEYS
+    }
+
+    def multi_fn(state: TrainState, idx):
+        def body(s, i):
+            batch = {k: jnp.take(v, i, axis=0) for k, v in dev.items()}
+            s, metrics = inner(s, batch)
+            return s, metrics
+        state, metrics = jax.lax.scan(body, state, idx)
         last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         return state, last
 
@@ -244,15 +291,35 @@ class CheckpointManager:
 class MetricsLog:
     """In-memory metrics record + optional CSV (the reference's
     ``write_file`` loss CSVs, src/Models/Full_GP_VAE_dynamic_time.py:294-300,
-    minus its crashing kwarg)."""
+    minus its crashing kwarg).
+
+    The CSV carries every scalar metric plus vector metrics expanded to one
+    column per element — in particular the learned lengthscale trajectories
+    (``lengthscale_*_0..Z-1``), which the reference prints every 500 steps
+    as a first-class observable (src/Models/syndata/GP_VAE_syn_data.py:
+    370-371).  The header is fixed by the first appended row.
+    """
 
     def __init__(self, csv_path: str | None = None):
         self.rows: list[dict] = []
         self._csv = csv_path
+        self._columns: list[str] | None = None
         if csv_path:
             os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
-            with open(csv_path, "w") as f:
-                f.write("step,loss,nll,kl,beta\n")
+            with open(csv_path, "w"):
+                pass  # truncate; header written on first append
+
+    @staticmethod
+    def _flatten(step: int, metrics: dict) -> dict:
+        flat = {"step": step}
+        for k, v in metrics.items():
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                flat[k] = arr.item()
+            else:
+                for i, x in enumerate(arr.reshape(-1)):
+                    flat[f"{k}_{i}"] = float(x)
+        return flat
 
     def append(self, step: int, metrics: dict):
         row = {"step": step}
@@ -261,11 +328,21 @@ class MetricsLog:
             row[k] = arr.item() if arr.ndim == 0 else arr.tolist()
         self.rows.append(row)
         if self._csv:
-            with open(self._csv, "a") as f:
-                f.write(
-                    f"{step},{row.get('loss')},{row.get('nll')},"
-                    f"{row.get('kl')},{row.get('beta')}\n"
+            flat = self._flatten(step, metrics)
+            if self._columns is None:
+                head = [
+                    c for c in ("step", "loss", "nll", "kl", "beta")
+                    if c in flat
+                ]
+                self._columns = head + sorted(
+                    c for c in flat if c not in head
                 )
+                with open(self._csv, "a") as f:
+                    f.write(",".join(self._columns) + "\n")
+            with open(self._csv, "a") as f:
+                f.write(",".join(
+                    str(flat.get(c, "")) for c in self._columns
+                ) + "\n")
 
 
 def fit(
@@ -286,7 +363,22 @@ def fit(
     home for periodic artifact dumps (the reference's reconstruction film
     strips every 10-20k steps, src/Models/Full_GP_VAE_dynamic_time.py:
     385-410; compose with gpvae_tpu.utils.plotting)."""
-    first = next(batches)
+    from gpvae_tpu.data.batching import Batcher
+
+    # a framework Batcher exposes the dataset arrays + index stream, which
+    # unlocks the device-resident fast path (gather fused into the jitted
+    # scan; only indices cross the host boundary per call)
+    sampler = batches if isinstance(batches, Batcher) else None
+    k = config.resolved_steps_per_call(device_resident=sampler is not None)
+    sampled = k > 1 and sampler is not None
+    if sampled:
+        # init from array shapes without consuming the index stream (the
+        # stream position must match the single-step path batch-for-batch)
+        first = {
+            key: v[: sampler.batch_size] for key, v in sampler.arrays.items()
+        }
+    else:
+        first = next(batches)
     if state is None:
         state, tx = create_train_state(model, first, config)
     else:
@@ -302,8 +394,11 @@ def fit(
             if verbose:
                 print(f"resumed from step {int(state.step)}")
 
-    k = max(1, config.steps_per_call)
-    if k > 1:
+    if sampled:
+        multi_fn = make_sampled_multi_step(
+            model, tx, config.beta, sampler.arrays
+        )
+    elif k > 1:
         multi_fn = make_multi_step(model, tx, config.beta, k)
     step_fn = make_train_step(model, tx, config.beta) if k == 1 else None
     log = MetricsLog(csv_path)
@@ -317,11 +412,16 @@ def fit(
         if k == 1:
             state, metrics = step_fn(state, _device_batch(batch))
             step += 1
+        elif sampled:
+            idx = np.stack([sampler.next_indices() for _ in range(k)])
+            state, metrics = multi_fn(state, jnp.asarray(idx))
+            step += k
         else:
             chunk = [batch] + [next(batches) for _ in range(k - 1)]
             stacked = {
                 key: jnp.stack([jnp.asarray(c[key]) for c in chunk])
-                for key in ("x", "times", "mask")
+                for key in _BATCH_KEYS
+                if chunk[0].get(key) is not None
             }
             stacked["times"] = stacked["times"].astype(jnp.float32)
             state, metrics = multi_fn(state, stacked)
@@ -355,15 +455,29 @@ def fit(
             for every, fn in callbacks:
                 if step % every < k and step >= every:
                     fn(state, step)
-        batch = next(batches)
+        if step < config.num_steps and not sampled:
+            # only fetch when another iteration runs: a finite batch
+            # iterator must not raise StopIteration after the last step
+            # (which would skip the final checkpoint save).  The sampled
+            # path consumes indices directly and never gathers on host.
+            batch = next(batches)
     if ckpt is not None:
         ckpt.save(state)
     return state, log
 
 
+_BATCH_KEYS = ("x", "times", "mask", "feature_mask")
+
+
 def _device_batch(batch: dict) -> dict:
-    return {
+    out = {
         "x": jnp.asarray(batch["x"]),
         "times": jnp.asarray(batch["times"], jnp.float32),
         "mask": jnp.asarray(batch["mask"]),
     }
+    # per-feature observation mask (healing-MNIST missing-pixel regime):
+    # without it the Bernoulli NLL would train the model to predict the
+    # zero-fill at never-observed pixels
+    if batch.get("feature_mask") is not None:
+        out["feature_mask"] = jnp.asarray(batch["feature_mask"])
+    return out

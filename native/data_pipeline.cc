@@ -166,6 +166,12 @@ struct Prefetcher {
 void* gpvae_prefetcher_create(const float* data, int64_t n, int64_t item_size,
                               int64_t batch, uint64_t seed, int shuffle,
                               int depth) {
+  // fill_one reads order[pos .. pos+batch): batch > n would read out of
+  // bounds and emit garbage batches
+  if (data == nullptr || n <= 0 || item_size <= 0 || batch <= 0 ||
+      batch > n) {
+    return nullptr;
+  }
   auto* p = new Prefetcher();
   p->data = data;
   p->n = n;
@@ -183,24 +189,29 @@ void* gpvae_prefetcher_create(const float* data, int64_t n, int64_t item_size,
 }
 
 // Blocks until the next prefetched batch is ready; copies it into out
-// [batch, item_size].
-void gpvae_prefetcher_next(void* handle, float* out) {
+// [batch, item_size].  Returns 1 on success, 0 if the prefetcher was
+// stopped (so a consumer racing destroy() unblocks instead of deadlocking
+// on an empty queue).
+int gpvae_prefetcher_next(void* handle, float* out) {
   auto* p = static_cast<Prefetcher*>(handle);
   std::vector<float> buf;
   {
     std::unique_lock<std::mutex> lk(p->mu);
-    p->cv_pop.wait(lk, [&] { return !p->queue.empty(); });
+    p->cv_pop.wait(lk, [&] { return p->stop.load() || !p->queue.empty(); });
+    if (p->queue.empty()) return 0;  // stopped with nothing buffered
     buf = std::move(p->queue.front());
     p->queue.pop_front();
     p->cv_push.notify_one();
   }
   std::memcpy(out, buf.data(), sizeof(float) * buf.size());
+  return 1;
 }
 
 void gpvae_prefetcher_destroy(void* handle) {
   auto* p = static_cast<Prefetcher*>(handle);
   p->stop.store(true);
   p->cv_push.notify_all();
+  p->cv_pop.notify_all();
   if (p->worker.joinable()) p->worker.join();
   delete p;
 }

@@ -34,8 +34,13 @@ def test_generate_and_train(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "done at step 30" in out
     csv = open(tmp_path / "loss.csv").read().splitlines()
-    assert csv[0] == "step,loss,nll,kl,beta"
+    # loss columns first, then the expanded vector metrics — in particular
+    # the learned lengthscale trajectories (VERDICT r1 #8)
+    assert csv[0].startswith("step,loss,nll,kl,beta")
+    assert "lengthscale_posterior_0" in csv[0]
+    assert "lengthscale_posterior_1" in csv[0]
     assert len(csv) >= 3
+    assert len(csv[1].split(",")) == len(csv[0].split(","))
 
 
 def test_train_conv_synthetic_mnist(tmp_path, capsys):

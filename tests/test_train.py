@@ -47,9 +47,9 @@ def test_lengthscales_are_observable_and_move():
         beta=elbo_lib.BetaSchedule(init=1.0, rate=0.0), log_every=30,
     )
     state, log = train_lib.fit(model, iter(batches), config, verbose=False)
-    assert "lengthscale_posterior_log_ls" in log.rows[-1]
-    ls0 = np.asarray(log.rows[0]["lengthscale_posterior_log_ls"])
-    ls1 = np.asarray(log.rows[-1]["lengthscale_posterior_log_ls"])
+    assert "lengthscale_posterior" in log.rows[-1]
+    ls0 = np.asarray(log.rows[0]["lengthscale_posterior"])
+    ls1 = np.asarray(log.rows[-1]["lengthscale_posterior"])
     assert not np.allclose(ls0, ls1)
     assert np.all(ls1 > 0)  # log-parameterization keeps them positive
 
