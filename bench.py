@@ -181,6 +181,81 @@ def time_train(method: str, t: int = 45, batch: int = 20,
     return n_stack / dt_chunk
 
 
+def time_train_conv(t: int = 20, batch: int = 5, n_stack: int = 10,
+                    n_rounds: int = 4, verbose: bool = False) -> float:
+    """MovingMNIST conv config steps/sec (B=5 seqs, T=20, Z=100, shared
+    fixed grid — src/Models/Full_GP_VAE_fixed_for_MovMnist.py workload)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gpvae_tpu import elbo as elbo_lib
+    from gpvae_tpu.models import GPVAE, GPVAEConfig
+    from gpvae_tpu.train import TrainConfig, TrainState, create_train_state
+
+    cfg = GPVAEConfig(
+        latent_dim=100, obs_dim=64 * 64, time_len=t,
+        prior="gp", posterior="gp",
+        prior_lengthscales=(1.0,), learn_prior_lengthscales=True,
+        posterior_lengthscales=(1.0,),
+        encoder="conv", decoder="conv", image_shape=(64, 64, 1),
+        shared_time_grid=True,
+    )
+    model = GPVAE(cfg)
+    rng = np.random.default_rng(0)
+    x = (rng.random((n_stack, batch, t, 64, 64, 1)) < 0.3).astype(np.float32)
+    times = np.broadcast_to(
+        np.arange(1.0, t + 1.0, dtype=np.float32), (n_stack, batch, t)
+    ).copy()
+    mask = np.ones((n_stack, batch, t), bool)
+
+    batch0 = {"x": x[0], "times": times[0], "mask": mask[0]}
+    state, tx = create_train_state(model, batch0, TrainConfig())
+    sched = elbo_lib.BetaSchedule()
+
+    def one_step(state, b):
+        rng_key, sample_key = jax.random.split(state.rng)
+        beta = sched(state.step)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params}, b["x"], b["times"], b["mask"],
+                beta=beta, rngs={"sample": sample_key},
+            )
+            return out.loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        return TrainState(
+            params=optax.apply_updates(state.params, updates),
+            opt_state=opt_state, step=state.step + 1, rng=rng_key,
+        ), loss
+
+    @jax.jit
+    def run_chunk(state, xs):
+        state, losses = jax.lax.scan(one_step, state, xs)
+        return state, losses[-1]
+
+    stacked = {
+        "x": jnp.asarray(x), "times": jnp.asarray(times),
+        "mask": jnp.asarray(mask),
+    }
+    t0 = time.perf_counter()
+    state, loss = run_chunk(state, stacked)
+    assert np.isfinite(float(loss)), "non-finite conv training loss"
+    if verbose:
+        print(f"[bench] conv compile+warm {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    box = {"state": state}
+
+    def run_once():
+        box["state"], loss = run_chunk(box["state"], stacked)
+        return loss
+
+    dt_chunk = timed_median(run_once, n_rounds)
+    return n_stack / dt_chunk
+
+
 def time_cholesky(t: int, n: int, reps: int = 10,
                   verbose: bool = False) -> float:
     """Batched Cholesky+logdet TFLOP/s at size t (the BASELINE metric).
@@ -242,6 +317,7 @@ def main(verbose: bool = False):
                               verbose=verbose)
     sps_xla_256 = _guarded(time_train, "xla", batch=256, n_stack=10,
                            verbose=verbose)
+    sps_conv = _guarded(time_train_conv, verbose=verbose)
     tflops_256 = _guarded(time_cholesky, 256, 512, reps=6, verbose=verbose)
     tflops_1024 = _guarded(time_cholesky, 1024, 128, reps=4, verbose=verbose)
     def r(x, nd=2):
@@ -259,6 +335,7 @@ def main(verbose: bool = False):
             "xla_path_steps_per_sec": r(sps_xla),
             "scaled_B256_steps_per_sec": r(sps_pallas_256),
             "scaled_B256_xla_steps_per_sec": r(sps_xla_256),
+            "mnist_conv_steps_per_sec": r(sps_conv),
             "chol_logdet_tflops_T256_N512": r(tflops_256, 4),
             "chol_logdet_tflops_T1024_N128": r(tflops_1024, 4),
             "host_roundtrip_ms": round(host_roundtrip_latency() * 1e3, 1),

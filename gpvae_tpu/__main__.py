@@ -42,8 +42,12 @@ def cmd_generate_data(args):
     print(f"wrote {args.num_seqs} sequences to {args.out}")
 
 
-def _load_batches(args, preset):
-    """Build (train_batcher, eval_arrays) for the preset's data family."""
+def _load_batches(args, preset, model_cfg=None):
+    """Build (train_batcher, eval_arrays) for the preset's data family.
+
+    ``model_cfg`` carries CLI overrides (--time-len) that must shape the
+    generated data; defaults to the preset's model config."""
+    model_cfg = model_cfg or preset.model
     import jax
     from gpvae_tpu.data import (
         Batcher, MovingMNIST, generate_toy_data, load_toy_file,
@@ -55,8 +59,8 @@ def _load_batches(args, preset):
         # missing-pixel regime: the feature_mask must travel with every
         # batch or the NLL trains the model to predict the zero fill
         batch = make_healing_batch(
-            args.num_seqs, t=preset.model.time_len,
-            size=preset.model.image_shape[0], seed=args.seed,
+            args.num_seqs, t=model_cfg.time_len,
+            size=model_cfg.image_shape[0], seed=args.seed,
         )
         n_train = int(0.9 * batch["x"].shape[0])
         train_keys = ("x", "times", "mask", "feature_mask")
@@ -64,12 +68,12 @@ def _load_batches(args, preset):
         test = {k: v[n_train:] for k, v in batch.items()}
         return Batcher(train, preset.batch_size, seed=args.seed), test
     if family == "mnist":
-        h = preset.model.image_shape[0]
+        h = model_cfg.image_shape[0]
         if args.data:
             ds = MovingMNIST(args.data, batch_size=preset.batch_size)
         else:
             vids = synthetic_moving_mnist(
-                args.num_seqs, t=preset.model.time_len, size=h,
+                args.num_seqs, t=model_cfg.time_len, size=h,
                 seed=args.seed,
             )
             ds = MovingMNIST(data=vids, batch_size=preset.batch_size)
@@ -81,7 +85,10 @@ def _load_batches(args, preset):
     else:
         data = generate_toy_data(
             jax.random.key(args.seed), args.num_seqs,
-            t=preset.model.time_len,
+            t=model_cfg.time_len,
+            # uniform-grid presets (shared_time_grid / Toeplitz prior)
+            # need fully observed sequences
+            hide_fraction=0.0 if family == "toy_full" else 0.7,
         )
         batch = toy_to_masked_batch(
             {k: np.asarray(v) for k, v in data.items()}
@@ -113,7 +120,7 @@ def cmd_train(args):
     if overrides:
         train_cfg = dataclasses.replace(train_cfg, **overrides)
 
-    batches, _ = _load_batches(args, preset)
+    batches, _ = _load_batches(args, preset, model_cfg)
     model = GPVAE(model_cfg)
     state, log = train_lib.fit(
         model, iter(batches), train_cfg, csv_path=args.csv,
@@ -142,7 +149,7 @@ def cmd_evaluate(args):
     if args.time_len:
         model_cfg = dataclasses.replace(model_cfg, time_len=args.time_len)
     model = GPVAE(model_cfg)
-    _, test = _load_batches(args, preset)
+    _, test = _load_batches(args, preset, model_cfg)
     batch = {k: v[: args.eval_batch] for k, v in test.items()}
 
     state, tx = train_lib.create_train_state(

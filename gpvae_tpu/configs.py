@@ -185,6 +185,34 @@ register(_p(
     "inducing-point (FITC) GP prior — O(T m^2) KL",
 ))
 register(_p(
+    "t1024_toeplitz",
+    GPVAEConfig(
+        latent_dim=2, obs_dim=15, time_len=1024,
+        prior="gp", posterior="gp",
+        prior_lengthscales=(9.0, 3.0), learn_prior_lengthscales=False,
+        posterior_lengthscales=(9.0, 3.0), learn_posterior_lengthscales=True,
+        encoder="dense", decoder="dense",
+        shared_time_grid=True, structured_prior="toeplitz",
+    ),
+    TrainConfig(num_steps=100_000, beta=_TOY_BETA),
+    batch_size=8,
+    description="BASELINE config 3: T=1024 uniform grid — Toeplitz "
+    "structured prior (O(T^2) Durbin + Gohberg-Semencul inverse, "
+    "gp.gp_kl_toeplitz_prior) with the blocked-Cholesky posterior bank",
+    data_family="toy_full",
+))
+register(_p(
+    "dp_scale",
+    dataclasses.replace(PRESETS["t1024_toeplitz"].model),
+    TrainConfig(num_steps=100_000, beta=_TOY_BETA),
+    batch_size=4096,
+    description="BASELINE config 5: 4096 sequences x T=1024 under data "
+    "parallelism — the global batch shards over a device mesh "
+    "(parallel.make_parallel_train_step / __graft_entry__.dryrun_multichip);"
+    " shrink --num-seqs and the batch for single-chip smoke runs",
+    data_family="toy_full",
+))
+register(_p(
     "bench_t100",
     GPVAEConfig(
         latent_dim=2, obs_dim=15, time_len=100,

@@ -73,6 +73,14 @@ class GPVAEConfig:
     # src/Models/Full_GP_VAE_fixed_for_MovMnist.py:99) — requires all
     # sequences to share `times` row 0 and a full mask
     shared_time_grid: bool = False
+    # structured GP prior on uniform shared grids (the gram is symmetric
+    # Toeplitz): "toeplitz" replaces the dense prior factorization with an
+    # O(T^2) Durbin scan + Gohberg-Semencul inverse (gp.gp_kl_toeplitz_prior;
+    # BASELINE config 3, T=1024); "dense" forces the dense path; "auto"
+    # picks toeplitz when shared_time_grid and T >= 256.  Requires the
+    # times to be an arithmetic grid (times[0] uniform) — not checked under
+    # jit.
+    structured_prior: str = "auto"
     # sparse inducing-point (FITC) prior for long sequences (sparse.py)
     num_inducing: int = 64
     inducing_time_range: tuple[float, float] | None = None
@@ -101,6 +109,15 @@ class GPVAEConfig:
                 raise ValueError(
                     "sparse_gp prior needs inducing_time_range=(t0, t1)"
                 )
+        if self.structured_prior not in ("auto", "dense", "toeplitz"):
+            raise ValueError(
+                "structured_prior must be auto, dense, or toeplitz"
+            )
+        if self.structured_prior == "toeplitz" and not self.shared_time_grid:
+            raise ValueError(
+                "the toeplitz structured prior requires shared_time_grid "
+                "(one uniform grid for the whole batch)"
+            )
 
     def _ls_tuple(self, raw: tuple[float, ...]) -> tuple[float, ...]:
         if len(raw) == 1:
@@ -121,6 +138,14 @@ class GPVAEConfig:
             self.prior in ("gp", "sparse_gp")
             or self.posterior in ("gp", "gp_plus_diag")
         )
+
+    @property
+    def toeplitz_prior(self) -> bool:
+        if self.prior != "gp" or not self.shared_time_grid:
+            return False
+        if self.structured_prior == "toeplitz":
+            return True
+        return self.structured_prior == "auto" and self.time_len >= 256
 
 
 @dataclasses.dataclass
@@ -246,6 +271,17 @@ class GPVAE(nn.Module):
         want_q = c.posterior in ("gp", "gp_plus_diag")
         want_p = c.prior == "gp"
         out: dict[str, Any] = {}
+        if want_p and c.toeplitz_prior:
+            # structured prior: O(T) first rows instead of dense factors —
+            # the [Z, T, T] prior gram bank never exists (gp.gp_kl_toeplitz_
+            # prior consumes the rows directly)
+            from gpvae_tpu import kernels as kernels_lib
+            step = times[0, 1] - times[0, 0]
+            out["prior_row"] = kernels_lib.toeplitz_row(
+                c.time_len, step, jnp.exp(self.prior_log_ls),
+                kernel=c.kernel, noise=c.noise,
+            )
+            want_p = False
         if want_q and want_p:
             ls = jnp.concatenate([
                 jnp.exp(self.posterior_log_ls), jnp.exp(self.prior_log_ls)
@@ -303,6 +339,18 @@ class GPVAE(nn.Module):
             )
             return jnp.sum(kl_bz, axis=-1)
         if c.prior == "gp":
+            if "prior_row" in aux:  # Toeplitz structured prior
+                if c.posterior == "gp":
+                    kl_bz = gp.gp_kl_toeplitz_prior(
+                        mean, aux["l_q"], aux["prior_row"]
+                    )
+                elif c.posterior == "diag":
+                    kl_bz = gp.gp_prior_diag_kl_toeplitz(
+                        mean, log_var, aux["prior_row"]
+                    )
+                else:
+                    raise NotImplementedError
+                return jnp.sum(kl_bz, axis=-1)
             l_p = (
                 aux["l_p"] if "l_p" in aux else self.prior_chol(times, mask)
             )

@@ -7,17 +7,22 @@ src/Models/Full_GP_VAE_fixed_for_MovMnist.py:133) and the numpy
 (src/Models/FullGP_and_GPdecoder_dynamic_time_analysis.py:44-55;
 src/determinant_testing_minimal.py:33).
 
-Three execution paths behind one differentiable entry point:
+Execution paths behind one differentiable entry point:
 
-* ``pallas``  — lane-batched kernel (pallas_chol.py) for T <= 64: the
+* ``pallas``        — lane-batched kernel (pallas_chol.py) for T <= 64: the
   reference regime (T = 20 MNIST / 45 toy).
-* ``blocked`` — right-looking blocked factorization for large T
-  (BASELINE.json config 3, T = 1024): diagonal blocks go through the
-  lane-batched kernel *batched across all matrices simultaneously*, panels
-  are triangular solves, and the trailing symmetric rank-k update is a pure
-  batched MXU matmul — the classic MAGMA-style split, expressed in JAX so
-  XLA schedules it.
-* ``xla``     — ``jnp.linalg.cholesky`` fallback (and the fp64 oracle on CPU).
+* ``blocked``       — right-looking blocked factorization: lane-batched
+  diagonal blocks across all matrices, MXU panels via the block inverse,
+  trailing update at the XLA level (MAGMA-style split).
+* ``blocked_left``  — left-looking variant: reads the final column-block
+  history instead of re-materializing the trailing submatrix each step.
+* ``blocked_fused`` — the panel + lower-only trailing downdate streamed
+  through one Pallas kernel per step (ops/pallas_trail.py).
+* ``whole``         — each matrix fully VMEM-resident in one Pallas kernel
+  (ops/pallas_chol_big.py); useful only for tiny banks of large matrices.
+* ``xla``           — ``jnp.linalg.cholesky`` fallback (fp64 oracle on CPU).
+
+``auto`` picks per measured v5e crossovers (see LEFT_LOOKING_MIN_T below).
 
 All paths share one analytic custom VJP (the standard differentiable-Cholesky
 backward, two triangular solves), so the ELBO differentiates through the
@@ -228,11 +233,62 @@ def cholesky_blocked_left(
 # Dispatch + custom VJP
 # ---------------------------------------------------------------------------
 
-# measured crossover on v5e (see benchmarks/bench_chol_variants.py and
-# docs/DESIGN.md): the right-looking form wins at mid T (2.40 vs 1.61
-# TFLOP/s at T=256 N=512), the left-looking form wins at large T where the
-# re-materialized trailing submatrix dominates (5.14 vs 3.06 at T=1024)
-LEFT_LOOKING_MIN_T = 512
+def cholesky_blocked_fused(
+    k: jnp.ndarray, block_size: int = 128
+) -> jnp.ndarray:
+    """Blocked batched Cholesky with the panel + trailing update fused into
+    one Pallas kernel per block step (ops/pallas_trail.py).
+
+    Per step: (1) diagonal blocks of ALL matrices factor+invert in the
+    lane-batched kernel (the serial recurrence amortized across the bank),
+    (2) one Pallas kernel per matrix computes the panel (MXU matmul against
+    the block inverse), emits the column block, and applies the trailing
+    downdate touching only lower-triangular tiles — the trailing submatrix
+    is written exactly once per step with no XLA defensive copies and half
+    the MXU work of the naive ``S -= X X^T``.
+    """
+    from gpvae_tpu.ops import pallas_trail
+
+    n, t, _ = k.shape
+    nb = pallas_trail.NB
+    if block_size != nb:
+        raise ValueError(f"fused path is fixed at block_size={nb}")
+    if t <= pallas_chol.LANE_BATCH_MAX_T:
+        return _chol_diag_block(k.astype(jnp.float32))
+    num_blocks = -(-t // nb)
+    t_pad = num_blocks * nb
+    if t_pad != t:
+        pad = t_pad - t
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, pad)))
+        diag_pad = (jnp.arange(t_pad) >= t).astype(k.dtype)
+        k = k + jnp.eye(t_pad, dtype=k.dtype) * diag_pad[None, None, :]
+
+    s = k.astype(jnp.float32)
+    col_blocks = []
+    for b in range(num_blocks):
+        ld, ld_inv = chol_and_inv(s[:, :nb, :nb])
+        if b == num_blocks - 1:
+            col_blocks.append(ld)
+            break
+        col_x, s = pallas_trail.panel_trailing_update(s, ld_inv)
+        col_blocks.append(jnp.concatenate([ld, col_x], axis=1))
+    cols = []
+    for b, col in enumerate(col_blocks):
+        top = jnp.zeros((n, b * nb, nb), jnp.float32)
+        cols.append(jnp.concatenate([top, col], axis=1))
+    l = jnp.concatenate(cols, axis=2)
+    return l[:, :t, :t]
+
+
+# measured crossovers on v5e (benchmarks/bench_chol_variants.py, r2; useful
+# TFLOP/s = N*T^3/3/time): the streaming fused kernel wins at mid T
+# (6.95 vs right 2.40 at T=256 N=512; 6.76 vs left 4.14 at T=512 N=256)
+# and very large T (9.43 at T=4096 N=8); the left-looking XLA form wins in
+# between, where the per-step diagonal-factor glue serializes the many
+# short fused steps (5.14 vs 4.39 at T=1024 N=128; 5.24 vs 2.76 at T=2048
+# N=32).  docs/DESIGN.md records the full shootout.
+LEFT_LOOKING_MIN_T = 1024
+LEFT_LOOKING_MAX_T = 2048
 
 
 def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
@@ -242,10 +298,10 @@ def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
         if dispatch.on_tpu():
             if t <= pallas_chol.LANE_BATCH_MAX_T:
                 method = "pallas"
-            elif t < LEFT_LOOKING_MIN_T:
-                method = "blocked"
-            else:
+            elif LEFT_LOOKING_MIN_T <= t <= LEFT_LOOKING_MAX_T:
                 method = "blocked_left"
+            else:
+                method = "blocked_fused"
         else:
             method = "xla"
     if method == "xla":
@@ -257,6 +313,8 @@ def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
         lb = cholesky_blocked(kb)
     elif method == "blocked_left":
         lb = cholesky_blocked_left(kb)
+    elif method == "blocked_fused":
+        lb = cholesky_blocked_fused(kb)
     elif method == "whole":
         from gpvae_tpu.ops import pallas_chol_big
         lb = pallas_chol_big.chol_whole_batched(kb)

@@ -121,7 +121,12 @@ def _chol_inv_base(s, o, u, x, m):
         # prev-panel substitution input: rows g of (U^T X) for this panel's
         # g = pw*p + c, via a one-hot column gather (sel[k, c] = [k == g_c])
         sel = (krow == pw * p + ccol).astype(f32)               # [nb,pw]
-        ucols = jnp.einsum("mkg,gc->mkc", u[...], sel)          # [M,nb,pw]
+        # HIGHEST: a selection matmul, but DEFAULT would round the gathered
+        # u values to bf16 (measured 4e-4 factor error at T=1024)
+        ucols = jax.lax.dot_general(
+            u[...], sel, (((2,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=_HI,
+        )                                                       # [M,nb,pw]
         acc_chunk = _dot(
             ucols, x[...], (((1,), (1,)), ((0,), (0,)))
         )                                                       # [M,pw,nb]

@@ -51,6 +51,14 @@ def make_mesh(
 
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
     """Place each batch array with its leading dim sharded over the mesh."""
+    n = mesh.shape[axis_name]
+    for k, v in batch.items():
+        if np.shape(v)[0] % n != 0:
+            raise ValueError(
+                f"batch axis of {k!r} ({np.shape(v)[0]}) is not divisible "
+                f"by the {axis_name!r} mesh axis ({n} devices); pad or "
+                f"resize the global batch"
+            )
     sharding = NamedSharding(mesh, P(axis_name))
     return {k: jax.device_put(jax.numpy.asarray(v), sharding)
             for k, v in batch.items()}
@@ -83,6 +91,7 @@ def make_parallel_train_step(
                 {"params": params},
                 batch["x"], batch["times"], batch["mask"],
                 beta=beta,
+                feature_mask=batch.get("feature_mask"),
                 rngs={"sample": sample_key},
             )
             return out.loss, out
@@ -104,10 +113,11 @@ def make_parallel_train_step(
         }
         return new_state, metrics
 
-    batch_shardings = {"x": data, "times": data, "mask": data}
+    # a single sharding for the batch argument applies to every leaf, so
+    # optional keys (feature_mask, the healing regime) shard for free
     jitted = jax.jit(
         step_fn,
-        in_shardings=(repl, batch_shardings),
+        in_shardings=(repl, data),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

@@ -142,3 +142,33 @@ def test_chol_inv_fused_kernel():
     np.testing.assert_allclose(
         roundtrip, np.broadcast_to(np.eye(40), roundtrip.shape), atol=5e-4
     )
+
+
+@pytest.mark.parametrize("t", [128, 200, 384])
+def test_cholesky_blocked_fused_vs_oracle(t):
+    """The streaming panel+trailing Pallas path (ops/pallas_trail.py)."""
+    from gpvae_tpu.ops.chol import cholesky_blocked_fused
+
+    rng = np.random.default_rng(2)
+    k = random_psd(rng, 3, t)
+    got = np.asarray(cholesky_blocked_fused(jnp.asarray(k, jnp.float32)))
+    want = np.linalg.cholesky(k)
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 5e-5, err
+    assert np.allclose(got, np.tril(got))
+
+
+def test_cholesky_fused_gradient_matches_xla():
+    """The shared custom VJP applies regardless of forward method."""
+    rng = np.random.default_rng(3)
+    k = jnp.asarray(random_psd(rng, 2, 160), jnp.float32)
+    w = jnp.asarray(rng.standard_normal(k.shape[-2:]), jnp.float32)
+
+    def loss(method):
+        return lambda kk: jnp.sum(cholesky(kk, method=method) * w)
+
+    g_fused = jax.grad(loss("blocked_fused"))(k)
+    g_xla = jax.grad(loss("xla"))(k)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_xla), rtol=2e-3, atol=2e-4
+    )

@@ -13,7 +13,8 @@ from gpvae_tpu.parallel import (
 from gpvae_tpu.train import TrainConfig, create_train_state, make_train_step
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()  # function-scoped: the DP step donates its state, and
+# replicate() may alias rather than copy an already-committed pytree
 def setup():
     model, cfg, x, times, mask = __graft_entry__._flagship(t=8, batch=16)
     batch = {"x": x, "times": times, "mask": mask}
@@ -27,14 +28,15 @@ def test_dryrun_multichip_entrypoint():
     __graft_entry__.dryrun_multichip(8)
 
 
-def test_parallel_step_matches_single_device(setup):
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_parallel_step_matches_single_device(setup, n_devices):
     model, batch, state, tx = setup
     sched = elbo_lib.BetaSchedule()
 
     single = make_train_step(model, tx, sched, donate=False)
     s1, m1 = single(state, batch)
 
-    mesh = make_mesh(8)
+    mesh = make_mesh(n_devices)
     pstep = make_parallel_train_step(model, tx, sched, mesh)
     s2, m2 = pstep(replicate(state, mesh), shard_batch(batch, mesh))
 
@@ -47,6 +49,65 @@ def test_parallel_step_matches_single_device(setup):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+def test_parallel_multistep_training_tracks_single_device(setup):
+    """Ten DP optimizer steps track ten single-device steps.  Parity is at
+    loss-trajectory level: the DP program compiles differently (psum
+    reduction order), and under Adam a 1-ulp gradient difference grows to
+    ~lr-scale parameter differences within a few steps."""
+    model, batch, state, tx = setup
+    sched = elbo_lib.BetaSchedule()
+    single = make_train_step(model, tx, sched, donate=False)
+    mesh = make_mesh(8)
+    pstep = make_parallel_train_step(model, tx, sched, mesh)
+
+    s1 = state
+    s2 = replicate(state, mesh)
+    sharded = shard_batch(batch, mesh)
+    losses1, losses2 = [], []
+    for _ in range(10):
+        s1, m1 = single(s1, batch)
+        s2, m2 = pstep(s2, sharded)
+        losses1.append(float(m1["loss"]))
+        losses2.append(float(m2["loss"]))
+    assert int(s2.step) == int(s1.step)
+    np.testing.assert_allclose(losses1, losses2, rtol=2e-2)
+    assert np.isfinite(losses2).all()
+    # it is actually training
+    assert losses2[-1] < losses2[0]
+
+
+def test_shard_batch_rejects_uneven_batch(setup):
+    model, batch, state, tx = setup
+    mesh = make_mesh(8)
+    uneven = {k: np.asarray(v)[:12] for k, v in batch.items()}  # 12 % 8 != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_batch(uneven, mesh)
+
+
+def test_parallel_step_carries_feature_mask(setup):
+    """The healing regime's per-feature mask shards and threads through the
+    DP step (same fix as the single-device loop, ADVICE r1 medium)."""
+    model, batch, state, tx = setup
+    sched = elbo_lib.BetaSchedule()
+    rng = np.random.default_rng(0)
+    fmask = rng.random(np.asarray(batch["x"]).shape) >= 0.5
+    full = dict(batch, feature_mask=fmask)
+
+    mesh = make_mesh(8)
+    # a second independent state: replicate() may alias and the DP step
+    # donates, so one state cannot feed two step calls
+    state2, _ = create_train_state(
+        model, batch, TrainConfig(learning_rate=2e-4)
+    )
+    pstep = make_parallel_train_step(model, tx, sched, mesh)
+    _, m_masked = pstep(replicate(state, mesh), shard_batch(full, mesh))
+    pstep2 = make_parallel_train_step(model, tx, sched, mesh)
+    _, m_plain = pstep2(replicate(state2, mesh), shard_batch(batch, mesh))
+    assert np.isfinite(float(m_masked["loss"]))
+    # masking out ~half the features must change the NLL
+    assert not np.isclose(float(m_masked["nll"]), float(m_plain["nll"]))
 
 
 def test_entry_compile_check():
