@@ -256,18 +256,28 @@ def time_train_conv(t: int = 20, batch: int = 5, n_stack: int = 10,
     return n_stack / dt_chunk
 
 
-def time_cholesky(t: int, n: int, reps: int = 10,
+def time_cholesky(t: int, n: int, reps: int = 10, inner: int | None = None,
                   verbose: bool = False) -> float:
     """Batched Cholesky+logdet TFLOP/s at size t (the BASELINE metric).
 
     Inputs are RBF grams built on device (the framework's actual workload;
     host-side PSD generation at these sizes costs minutes of numpy matmul).
+
+    The factorization runs ``inner`` times *on device* inside one jitted
+    fori_loop, chained through a (numerically negligible) data dependency
+    so XLA cannot hoist it — sub-millisecond kernels measured one dispatch
+    at a time through the ~25-30 ms remote tunnel showed multi-x
+    run-to-run wall noise.
     """
     import jax
     import jax.numpy as jnp
     from gpvae_tpu import kernels as kernels_lib
     from gpvae_tpu.ops import chol_logdet
 
+    if inner is None:
+        # small: amortize dispatch; large: bound compile time (inner=32
+        # around the multi-pallas-call fused path compiled pathologically)
+        inner = 8 if t <= 512 else 4
     rng = np.random.default_rng(1)
     times = jnp.asarray(
         np.sort(rng.uniform(0, t, (n, t)), -1).astype(np.float32)
@@ -281,17 +291,65 @@ def time_cholesky(t: int, n: int, reps: int = 10,
 
     @jax.jit
     def run(kd):
-        l, ld = chol_logdet(kd)
-        # consume the whole factor so XLA cannot dead-code any of it
-        return ld.sum() + jnp.sum(l)
+        def body(_, carry):
+            scale, acc = carry
+            l, ld = chol_logdet(kd * scale)
+            # consume the whole factor so XLA cannot dead-code any of it;
+            # thread acc into the next scale (×1e-24: forces the
+            # dependency, perturbs K by ~ulp)
+            acc = acc + ld.sum() + jnp.sum(l)
+            return 1.0 + acc * 1e-24, acc
+
+        _, acc = jax.lax.fori_loop(
+            0, inner, body, (jnp.float32(1.0), jnp.float32(0.0))
+        )
+        return acc
 
     t0 = time.perf_counter()
     float(run(kd))
     if verbose:
         print(f"[bench] chol T={t} compile+warm {time.perf_counter()-t0:.1f}s",
               flush=True)
-    dt = timed_median(lambda: run(kd), reps)
+    dt = timed_median(lambda: run(kd), reps) / inner
     return n * (t ** 3) / 3.0 / dt / 1e12
+
+
+def time_toeplitz_kl(t: int = 1024, b: int = 8, z: int = 2,
+                     reps: int = 6, verbose: bool = False) -> dict:
+    """Structured-prior KL vs dense-prior KL on a uniform grid (BASELINE
+    config 3): one Durbin scan + GS-inverse matmuls vs a dense prior
+    factorization.  Returns ms for both paths."""
+    import jax
+    import jax.numpy as jnp
+    from gpvae_tpu import gp, kernels
+
+    rng = np.random.default_rng(0)
+    times = jnp.broadcast_to(
+        jnp.arange(t, dtype=jnp.float32) * (60.0 / t), (b, t)
+    )
+    mu = jnp.asarray(rng.standard_normal((b, t, z)), jnp.float32)
+    ls_q = jnp.asarray([5.0, 2.0], jnp.float32)[:z]
+    ls_p = jnp.asarray([9.0, 3.0], jnp.float32)[:z]
+    step = float(times[0, 1] - times[0, 0])
+    l_q = gp.chol_gram_bank(times[:1], ls_q)  # shared posterior factor
+
+    @jax.jit
+    def dense(mu):
+        l_p = gp.chol_gram_bank(times[:1], ls_p)
+        return jnp.sum(gp.gp_kl(mu, l_q, l_p))
+
+    @jax.jit
+    def toep(mu):
+        row = kernels.toeplitz_row(t, step, ls_p)
+        return jnp.sum(gp.gp_kl_toeplitz_prior(mu, l_q, row))
+
+    float(dense(mu)); float(toep(mu))
+    dt_dense = timed_median(lambda: dense(mu), reps)
+    dt_toep = timed_median(lambda: toep(mu), reps)
+    if verbose:
+        print(f"[bench] toeplitz KL T={t}: dense={dt_dense*1e3:.2f}ms "
+              f"toeplitz={dt_toep*1e3:.2f}ms", flush=True)
+    return {"dense_ms": dt_dense * 1e3, "toeplitz_ms": dt_toep * 1e3}
 
 
 def _guarded(fn, *args, **kwargs):
@@ -320,6 +378,7 @@ def main(verbose: bool = False):
     sps_conv = _guarded(time_train_conv, verbose=verbose)
     tflops_256 = _guarded(time_cholesky, 256, 512, reps=6, verbose=verbose)
     tflops_1024 = _guarded(time_cholesky, 1024, 128, reps=4, verbose=verbose)
+    toep = _guarded(time_toeplitz_kl, verbose=verbose) or {}
     def r(x, nd=2):
         return round(x, nd) if x is not None else None
 
@@ -338,6 +397,8 @@ def main(verbose: bool = False):
             "mnist_conv_steps_per_sec": r(sps_conv),
             "chol_logdet_tflops_T256_N512": r(tflops_256, 4),
             "chol_logdet_tflops_T1024_N128": r(tflops_1024, 4),
+            "toeplitz_prior_kl_T1024_ms": r(toep.get("toeplitz_ms")),
+            "dense_prior_kl_T1024_ms": r(toep.get("dense_ms")),
             "host_roundtrip_ms": round(host_roundtrip_latency() * 1e3, 1),
         },
     }

@@ -179,6 +179,43 @@ def traversal_from_gp(
     return jax.nn.sigmoid(logits)[0, 0]
 
 
+def prior_draws(
+    model: GPVAE,
+    params,
+    times: jnp.ndarray,
+    *,
+    key,
+    num_samples: int = 1,
+) -> jnp.ndarray:
+    """Latent trajectories drawn from the model's GP prior over ``times
+    [T]`` -> ``[S, T, Z]`` (reference ``prior_gp_sample``,
+    src/Models/FullGP_and_GPdecoder_dynamic_time_analysis.py:24-30).
+
+    On uniform grids with the Toeplitz structured prior active, sampling
+    goes through circulant embedding + FFT (O(T log T),
+    toeplitz.circulant_prior_sample) instead of a dense O(T^3) Cholesky —
+    the long-sequence analysis path for BASELINE config 3.
+    """
+    cfg = model.config
+    ls = jnp.exp(_param_or_const(model, params, "prior_log_ls", cfg))
+    if cfg.toeplitz_prior:
+        from gpvae_tpu import kernels as kernels_lib
+        from gpvae_tpu import toeplitz
+
+        step = times[1] - times[0]
+        row = kernels_lib.toeplitz_row(
+            times.shape[0], step, ls, kernel=cfg.kernel, noise=cfg.noise
+        )
+        draws = toeplitz.circulant_prior_sample(
+            key, row, num_samples=num_samples
+        )                                          # [S, Z, T]
+        return jnp.swapaxes(draws, -1, -2)
+    l = gp.chol_gram_bank(
+        times[None], ls, kernel=cfg.kernel, noise=cfg.noise
+    )
+    return gp.prior_sample(key, l, num_samples)[:, 0]
+
+
 def activation_stats(
     model: GPVAE, params, x, times, mask, *, key, num_samples: int = 100
 ):

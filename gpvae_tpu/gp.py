@@ -67,20 +67,23 @@ def _chol_gram_bank_unfused(times, lengthscales, mask, variance, kernel,
     return cholesky(k)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _chol_gram_bank_p(times, lengthscales, mask, variance, kernel, noise):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _chol_gram_bank_p(times, lengthscales, mask, variance, kernel, noise,
+                      diff_times):
     return gram_chol_fused(
         times, lengthscales, mask=mask, kernel=kernel, noise=noise,
         variance=variance,
     )
 
 
-def _chol_gram_bank_fwd(times, lengthscales, mask, variance, kernel, noise):
-    l = _chol_gram_bank_p(times, lengthscales, mask, variance, kernel, noise)
+def _chol_gram_bank_fwd(times, lengthscales, mask, variance, kernel, noise,
+                        diff_times):
+    l = _chol_gram_bank_p(times, lengthscales, mask, variance, kernel,
+                          noise, diff_times)
     return l, (times, lengthscales, mask, variance, l)
 
 
-def _chol_gram_bank_bwd(kernel, noise, res, l_bar):
+def _chol_gram_bank_bwd(kernel, noise, diff_times, res, l_bar):
     times, lengthscales, mask, variance, l = res
     k_bar = cholesky_bwd_from_l(l, l_bar)
 
@@ -89,12 +92,22 @@ def _chol_gram_bank_bwd(kernel, noise, res, l_bar):
             tt, ls, kernel=kernel, noise=noise, variance=var, mask=mask
         )
 
-    # times gets its true cotangent (not a silent zero): callers that treat
-    # times as data pay nothing — XLA dead-code-eliminates the unused
-    # branch — while any future model differentiating through observation
-    # times (learned time warps) gets correct gradients.
-    _, vjp = jax.vjp(gram_fn, times, lengthscales, variance)
-    times_bar, ls_bar, var_bar = vjp(k_bar)
+    # The times cotangent is OPT-IN (``chol_gram_bank(diff_times=True)``):
+    # XLA cannot dead-code-eliminate it out of the fused vjp (the gram
+    # pullback entangles it with the lengthscale cotangent — measured ~12%
+    # of toy-config training throughput), and every shipped model treats
+    # observation times as data.  With the default, differentiating through
+    # times yields an explicit ZERO gradient here — not silently: this is
+    # the documented contract.
+    if diff_times:
+        _, vjp = jax.vjp(gram_fn, times, lengthscales, variance)
+        times_bar, ls_bar, var_bar = vjp(k_bar)
+    else:
+        _, vjp = jax.vjp(
+            lambda ls, var: gram_fn(times, ls, var), lengthscales, variance
+        )
+        ls_bar, var_bar = vjp(k_bar)
+        times_bar = jnp.zeros_like(times)
     return (times_bar, ls_bar, None, var_bar)
 
 
@@ -109,6 +122,7 @@ def chol_gram_bank(
     kernel: str = "rbf",
     noise: float = kernels_lib.DEFAULT_NOISE,
     variance: jnp.ndarray | float = 1.0,
+    diff_times: bool = False,
 ) -> jnp.ndarray:
     """Cholesky factors ``L [B, Z, T, T]`` of the per-latent gram bank.
 
@@ -116,7 +130,11 @@ def chol_gram_bank(
     T <= 64 the gram is built and factored inside one Pallas kernel (the
     ``[B,Z,T,T]`` gram never reaches HBM); otherwise it composes the batched
     gram with the blocked/XLA Cholesky.  Differentiable w.r.t.
-    ``lengthscales`` and ``variance`` via the analytic Cholesky backward.
+    ``lengthscales`` and ``variance`` via the analytic Cholesky backward;
+    pass ``diff_times=True`` if you differentiate through the observation
+    times (learned time warps) — the default backward returns an explicit
+    zero for them, because the extra pullback costs ~12% of training
+    throughput and times are data in every shipped model.
     """
     variance = jnp.asarray(variance, jnp.float32)
     t = times.shape[-1]
@@ -126,7 +144,7 @@ def chol_gram_bank(
         and kernel in kernels_lib.KERNELS
     ):
         return _chol_gram_bank_p(times, lengthscales, mask, variance, kernel,
-                                 noise)
+                                 noise, diff_times)
     return _chol_gram_bank_unfused(times, lengthscales, mask, variance,
                                    kernel, noise)
 

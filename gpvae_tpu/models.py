@@ -76,10 +76,14 @@ class GPVAEConfig:
     # structured GP prior on uniform shared grids (the gram is symmetric
     # Toeplitz): "toeplitz" replaces the dense prior factorization with an
     # O(T^2) Durbin scan + Gohberg-Semencul inverse (gp.gp_kl_toeplitz_prior;
-    # BASELINE config 3, T=1024); "dense" forces the dense path; "auto"
-    # picks toeplitz when shared_time_grid and T >= 256.  Requires the
-    # times to be an arithmetic grid (times[0] uniform) — not checked under
-    # jit.
+    # BASELINE config 3, T=1024); "dense" forces the dense path.  "auto"
+    # currently resolves to dense everywhere: the Durbin scan is a
+    # sequential O(T) recurrence and measured SLOWER than the MXU's
+    # brute-force dense factorization at every benchmarked size on v5e
+    # (8.5 vs 5.0 ms at T=1024 shared-grid — BASELINE.md); the structured
+    # path remains an explicit opt-in for memory-bound or asymptotic
+    # regimes.  Requires an arithmetic grid (times[0] uniform) — not
+    # checked under jit.
     structured_prior: str = "auto"
     # sparse inducing-point (FITC) prior for long sequences (sparse.py)
     num_inducing: int = 64
@@ -143,9 +147,7 @@ class GPVAEConfig:
     def toeplitz_prior(self) -> bool:
         if self.prior != "gp" or not self.shared_time_grid:
             return False
-        if self.structured_prior == "toeplitz":
-            return True
-        return self.structured_prior == "auto" and self.time_len >= 256
+        return self.structured_prior == "toeplitz"
 
 
 @dataclasses.dataclass

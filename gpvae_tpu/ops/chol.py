@@ -280,15 +280,15 @@ def cholesky_blocked_fused(
     return l[:, :t, :t]
 
 
-# measured crossovers on v5e (benchmarks/bench_chol_variants.py, r2; useful
-# TFLOP/s = N*T^3/3/time): the streaming fused kernel wins at mid T
-# (6.95 vs right 2.40 at T=256 N=512; 6.76 vs left 4.14 at T=512 N=256)
-# and very large T (9.43 at T=4096 N=8); the left-looking XLA form wins in
-# between, where the per-step diagonal-factor glue serializes the many
-# short fused steps (5.14 vs 4.39 at T=1024 N=128; 5.24 vs 2.76 at T=2048
-# N=32).  docs/DESIGN.md records the full shootout.
-LEFT_LOOKING_MIN_T = 1024
-LEFT_LOOKING_MAX_T = 2048
+# measured crossovers on v5e (device-looped timing — single-dispatch wall
+# measurements through the remote tunnel were unreliable, docs/DESIGN.md;
+# useful TFLOP/s = N*T^3/3/time):
+#   T=256  N=512: fused 2.66 | right 2.43 | left 1.59
+#   T=512  N=256: right 4.86 | fused 4.53 | left 3.53
+#   T=1024 N=128: left  5.79 | fused 4.90 | right 3.26 | whole 1.04
+#   T=2048 N=32:  left  4.59 | fused 2.27
+FUSED_MAX_T = 511          # below: streaming fused kernel
+LEFT_LOOKING_MIN_T = 768   # above: left-looking; between: right-looking
 
 
 def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
@@ -298,10 +298,12 @@ def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
         if dispatch.on_tpu():
             if t <= pallas_chol.LANE_BATCH_MAX_T:
                 method = "pallas"
-            elif LEFT_LOOKING_MIN_T <= t <= LEFT_LOOKING_MAX_T:
-                method = "blocked_left"
-            else:
+            elif t <= FUSED_MAX_T:
                 method = "blocked_fused"
+            elif t < LEFT_LOOKING_MIN_T:
+                method = "blocked"
+            else:
+                method = "blocked_left"
         else:
             method = "xla"
     if method == "xla":

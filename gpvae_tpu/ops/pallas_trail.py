@@ -74,6 +74,12 @@ def _make_kernel(m: int, r: int):
         )                                                   # [m, nb, r2]
         out_ref[...] = tile[:, :, nb:] - upd
 
+    # An in-kernel factorization of the next diagonal block (chaining steps
+    # with no XLA round in between) was tried and REVERTED: the micro-panel
+    # recurrence is serial per slab, and with n/m slabs per step it cost far
+    # more than the lane-batched XLA round it replaced (measured 18x
+    # slower at T=256 N=512).  The serial work belongs where the whole bank
+    # amortizes it.
     return kernel
 
 

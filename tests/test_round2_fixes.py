@@ -243,17 +243,22 @@ def test_chol_gram_bank_times_gradient_matches_unfused():
     ls = jnp.asarray([3.0, 1.5], jnp.float32)
     var = jnp.asarray(1.0, jnp.float32)
 
-    def fused_sum(tt):
-        l = gp._chol_gram_bank_p(tt, ls, None, var, "rbf", 1e-3)
+    def fused_sum(tt, diff_times):
+        l = gp._chol_gram_bank_p(tt, ls, None, var, "rbf", 1e-3, diff_times)
         return jnp.sum(l * jnp.cos(jnp.arange(l.size).reshape(l.shape)))
 
     def unfused_sum(tt):
         l = gp._chol_gram_bank_unfused(tt, ls, None, var, "rbf", 1e-3)
         return jnp.sum(l * jnp.cos(jnp.arange(l.size).reshape(l.shape)))
 
-    g_fused = jax.grad(fused_sum)(times)
+    # opt-in: the true times cotangent matches the unfused autodiff
+    g_fused = jax.grad(lambda tt: fused_sum(tt, True))(times)
     g_unfused = jax.grad(unfused_sum)(times)
     assert not np.allclose(np.asarray(g_fused), 0.0)
     np.testing.assert_allclose(
         np.asarray(g_fused), np.asarray(g_unfused), rtol=2e-3, atol=2e-4
     )
+    # default: explicit zero (documented contract — the pullback costs ~12%
+    # of training throughput and times are data in every shipped model)
+    g_default = jax.grad(lambda tt: fused_sum(tt, False))(times)
+    assert np.allclose(np.asarray(g_default), 0.0)

@@ -116,13 +116,19 @@ def test_t1024_preset_registered_and_auto_threshold():
     assert p.model.structured_prior == "toeplitz"
     dp = configs.get("dp_scale")
     assert dp.batch_size == 4096
-    # auto keeps small fixed grids (reference MNIST T=20) on the dense path
+    # auto resolves to dense everywhere (the sequential Durbin scan
+    # measured slower than the MXU dense factorization on v5e — see
+    # GPVAEConfig.structured_prior); toeplitz stays an explicit opt-in
     small = configs.get("full_gp_fixed").model
     assert not small.toeplitz_prior
     auto_big = dataclasses.replace(
         small, time_len=512, structured_prior="auto"
     )
-    assert auto_big.toeplitz_prior
+    assert not auto_big.toeplitz_prior
+    explicit = dataclasses.replace(
+        small, time_len=512, structured_prior="toeplitz"
+    )
+    assert explicit.toeplitz_prior
 
 
 def test_cli_t1024_preset_smoke(capsys):
@@ -133,3 +139,34 @@ def test_cli_t1024_preset_smoke(capsys):
         "--time-len", "32", "--steps", "2", "--log-every", "1",
     ])
     assert "done at step 2" in capsys.readouterr().out
+
+
+def test_prior_draws_circulant_matches_dense_statistics():
+    """analysis.prior_draws: the circulant path's draws have the prior's
+    covariance (checked against the dense gram at moderate T)."""
+    from gpvae_tpu import analysis, kernels
+
+    m_toep, m_dense = _model_pair(t=64)
+    times = jnp.arange(64, dtype=jnp.float32) * 0.9
+    rng_key = jax.random.key(0)
+    x = jnp.zeros((2, 64, 15))
+    seeds = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+    p = m_toep.init(seeds, x, jnp.broadcast_to(times, (2, 64)),
+                    jnp.ones((2, 64), bool))["params"]
+
+    draws = analysis.prior_draws(
+        m_toep, p, times, key=rng_key, num_samples=4000
+    )
+    assert draws.shape == (4000, 64, 2)
+    emp = np.einsum("stz,suz->ztu", np.asarray(draws),
+                    np.asarray(draws)) / 4000
+    ls = np.exp(np.asarray(p["prior_log_ls"]))
+    for z in range(2):
+        want = np.asarray(kernels.gram(times, float(ls[z])))
+        err = np.abs(emp[z] - want).max()
+        assert err < 0.15, (z, err)  # MC tolerance at 4000 samples
+
+    d2 = analysis.prior_draws(m_dense, p, times, key=rng_key,
+                              num_samples=3)
+    assert d2.shape == (3, 64, 2)
+    assert np.isfinite(np.asarray(d2)).all()
