@@ -29,14 +29,29 @@ def sync(x):
     return float(jnp.sum(x))
 
 
-def timeit(fn, k, roundtrip, reps=3):
-    out = fn(k)
-    sync(out)  # compile + warm
+def timeit(fn, k, roundtrip, reps=3, inner=4):
+    """Device-looped timing: the op runs ``inner`` times inside one jitted
+    fori_loop, chained through a ~ulp data dependency.  Single-dispatch
+    wall timing on this remote image measured up to 2.6x too fast for
+    sub-ms work (docs/DESIGN.md)."""
+    @jax.jit
+    def run(kd):
+        def body(_, carry):
+            scale, acc = carry
+            acc = acc + jnp.sum(fn(kd * scale))
+            return 1.0 + acc * 1e-24, acc
+
+        _, acc = jax.lax.fori_loop(
+            0, inner, body, (jnp.float32(1.0), jnp.float32(0.0))
+        )
+        return acc
+
+    float(run(k))  # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        sync(fn(k))
-        ts.append(time.perf_counter() - t0 - roundtrip)
+        float(run(k))
+        ts.append((time.perf_counter() - t0 - roundtrip) / inner)
     return float(np.median(ts))
 
 

@@ -48,6 +48,7 @@ def _load_batches(args, preset, model_cfg=None):
     ``model_cfg`` carries CLI overrides (--time-len) that must shape the
     generated data; defaults to the preset's model config."""
     model_cfg = model_cfg or preset.model
+    batch_size = getattr(args, "batch_size", None) or preset.batch_size
     import jax
     from gpvae_tpu.data import (
         Batcher, MovingMNIST, generate_toy_data, load_toy_file,
@@ -66,17 +67,17 @@ def _load_batches(args, preset, model_cfg=None):
         train_keys = ("x", "times", "mask", "feature_mask")
         train = {k: batch[k][:n_train] for k in train_keys}
         test = {k: v[n_train:] for k, v in batch.items()}
-        return Batcher(train, preset.batch_size, seed=args.seed), test
+        return Batcher(train, batch_size, seed=args.seed), test
     if family == "mnist":
         h = model_cfg.image_shape[0]
         if args.data:
-            ds = MovingMNIST(args.data, batch_size=preset.batch_size)
+            ds = MovingMNIST(args.data, batch_size=batch_size)
         else:
             vids = synthetic_moving_mnist(
                 args.num_seqs, t=model_cfg.time_len, size=h,
                 seed=args.seed,
             )
-            ds = MovingMNIST(data=vids, batch_size=preset.batch_size)
+            ds = MovingMNIST(data=vids, batch_size=batch_size)
         return ds.batchers["train"], ds.splits.get("test")
     if args.data:
         # .npz from generate-data, or the reference's joblib pickle
@@ -96,7 +97,7 @@ def _load_batches(args, preset, model_cfg=None):
     n_train = int(0.9 * batch["x"].shape[0])
     train = {k: v[:n_train] for k, v in batch.items()}
     test = {k: v[n_train:] for k, v in batch.items()}
-    return Batcher(train, preset.batch_size, seed=args.seed), test
+    return Batcher(train, batch_size, seed=args.seed), test
 
 
 def cmd_train(args):
@@ -166,10 +167,18 @@ def cmd_evaluate(args):
     x = jnp.asarray(batch["x"])
     times = jnp.asarray(batch["times"], jnp.float32)
     mask = jnp.asarray(batch["mask"])
-    metrics = analysis.imputation_metrics(
-        model, state.params, x, times, mask,
-        key=jax.random.key(args.seed), drop_fraction=args.drop_fraction,
-    )
+    if preset.resolved_data_family == "healing":
+        # missing-pixel regime: score reconstructions on exactly the
+        # corrupted pixels against the clean targets
+        metrics = analysis.pixel_imputation_metrics(
+            model, state.params, batch, key=jax.random.key(args.seed),
+        )
+    else:
+        metrics = analysis.imputation_metrics(
+            model, state.params, x, times, mask,
+            key=jax.random.key(args.seed),
+            drop_fraction=args.drop_fraction,
+        )
     print(json.dumps(metrics))
 
     if args.plots:
@@ -262,6 +271,8 @@ def main(argv=None):
     t.add_argument("--log-every", type=int)
     t.add_argument("--steps-per-call", type=int,
                    help="optimizer steps per jitted call (amortizes dispatch)")
+    t.add_argument("--batch-size", type=int,
+                   help="override the preset's batch size")
     t.add_argument("--seed", type=int, default=0)
     t.set_defaults(fn=cmd_train)
 
@@ -276,6 +287,8 @@ def main(argv=None):
     e.add_argument("--plots", help="directory for PNG artifacts")
     e.add_argument("--traversal", type=int,
                    help="also dump latent-traversal strips for this dim")
+    e.add_argument("--batch-size", type=int,
+                   help="override the preset's batch size")
     e.add_argument("--seed", type=int, default=0)
     e.set_defaults(fn=cmd_evaluate)
 

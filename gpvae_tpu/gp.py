@@ -43,15 +43,18 @@ from gpvae_tpu.ops import (
 )
 from gpvae_tpu.ops.chol import cholesky_bwd_from_l
 
-# None = auto (TPU and T <= lane-kernel max); tests override to exercise the
-# inverse-routed KL paths in interpreter mode on CPU
+# None = auto (TPU, up to trsm.INV_ROUTE_MAX_T — the triangular inverse is
+# lane-batched at T <= 64 and MXU block recursion above); tests override to
+# exercise the inverse-routed KL paths in interpreter mode on CPU
 FORCE_INVERSE_PATH: bool | None = None
 
 
 def _inverse_path(t: int) -> bool:
+    from gpvae_tpu.ops.trsm import INV_ROUTE_MAX_T
+
     if FORCE_INVERSE_PATH is not None:
-        return FORCE_INVERSE_PATH and t <= LANE_BATCH_MAX_T
-    return dispatch.on_tpu() and t <= LANE_BATCH_MAX_T
+        return FORCE_INVERSE_PATH and t <= INV_ROUTE_MAX_T
+    return dispatch.on_tpu() and t <= INV_ROUTE_MAX_T
 
 
 # ---------------------------------------------------------------------------

@@ -337,10 +337,14 @@ def cholesky_bwd_from_l(l: jnp.ndarray, l_bar: jnp.ndarray) -> jnp.ndarray:
     returned symmetrized (valid for K produced by a symmetric constructor,
     as all grams here are).
     """
+    from gpvae_tpu.ops.trsm import INV_ROUTE_MAX_T
+
     p = _phi(jnp.einsum("...ji,...jk->...ik", l, l_bar))
     w = 0.5 * (p + jnp.swapaxes(p, -1, -2))
-    if dispatch.on_tpu() and l.shape[-1] <= pallas_tri.MAX_NB:
-        # one lane-batched inverse, two MXU matmuls: K_bar = X^T w X
+    if dispatch.on_tpu() and l.shape[-1] <= INV_ROUTE_MAX_T:
+        # one triangular inverse (lane kernel <= 64, MXU block recursion
+        # above), two MXU matmuls: K_bar = X^T w X — XLA's
+        # triangular_solve is a sequential substitution on TPU
         x = pallas_tri.tri_inv(l)
         kbar = jnp.einsum(
             "...ji,...jk,...kl->...il", x, w, x,

@@ -56,11 +56,44 @@ def _tri_inv_kernel(l_ref, x_ref):
         xv[j, :, :] = row
 
 
+def tri_inv_blocked(l: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangular inverse for any side via block recursion:
+
+        inv([[A, 0], [B, C]]) = [[A^{-1}, 0], [-C^{-1} B A^{-1}, C^{-1}]]
+
+    halving down to the 64-wide lane-batched base — every level above the
+    base is two HIGHEST-precision MXU matmuls, no sequential substitution
+    anywhere.  This is what routes the large-T KLs and the Cholesky VJP
+    around XLA's sequential ``triangular_solve``.  ``l [N, T, T]``.
+    """
+    n, t, _ = l.shape
+    if t <= MAX_NB:
+        return tri_inv_small_batched(l)
+    # pad to a power-of-two multiple of MAX_NB split points: split at the
+    # largest multiple of MAX_NB >= t/2 keeps blocks aligned
+    h = max(MAX_NB, ((t // 2 + MAX_NB - 1) // MAX_NB) * MAX_NB)
+    if h >= t:  # t in (MAX_NB, 2*MAX_NB): split at MAX_NB
+        h = MAX_NB
+    ia = tri_inv_blocked(l[:, :h, :h])
+    ic = tri_inv_blocked(l[:, h:, h:])
+    hi = jax.lax.Precision.HIGHEST
+    ib = -jnp.einsum(
+        "nij,njk,nkl->nil", ic, l[:, h:, :h], ia,
+        preferred_element_type=jnp.float32, precision=hi,
+    )
+    zero = jnp.zeros((n, h, t - h), jnp.float32)
+    return jnp.concatenate([
+        jnp.concatenate([ia, zero], axis=2),
+        jnp.concatenate([ib, ic], axis=2),
+    ], axis=1)
+
+
 @jax.custom_vjp
 def tri_inv(l: jnp.ndarray) -> jnp.ndarray:
-    """Differentiable lower-triangular inverse ``[..., nb, nb]``, nb <= 64.
+    """Differentiable lower-triangular inverse ``[..., T, T]``.
 
-    Forward: the lane-batched kernel.  Backward: the analytic rule
+    Forward: the lane-batched kernel for T <= 64, block recursion above
+    (``tri_inv_blocked``).  Backward: the analytic rule
     ``d(L^{-1}) = -L^{-1} dL L^{-1}`` transposed, i.e.
     ``L_bar = -tril(X^T X_bar X^T)`` with ``X = L^{-1}`` — pure MXU matmuls.
 
@@ -71,7 +104,11 @@ def tri_inv(l: jnp.ndarray) -> jnp.ndarray:
     """
     batch = l.shape[:-2]
     nb = l.shape[-1]
-    x = tri_inv_small_batched(l.reshape((-1, nb, nb)))
+    flat = l.reshape((-1, nb, nb))
+    if nb <= MAX_NB:
+        x = tri_inv_small_batched(flat)
+    else:
+        x = tri_inv_blocked(flat.astype(jnp.float32))
     return x.reshape(batch + (nb, nb))
 
 

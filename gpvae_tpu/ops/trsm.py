@@ -12,10 +12,11 @@ KL/posterior quantity is rewritten in solve form:
 
 Two execution paths:
 
-* **TPU, small triangles (nb <= 64)**: XLA's sequential-substitution trsm
+* **TPU, lower triangles up to 2048**: XLA's sequential-substitution trsm
   dominates the KL forward AND backward (each ~half of it), so solves
-  dispatch to the lane-batched triangular-inverse Pallas kernel followed by
-  one MXU matmul — ``op(A)^{-1}`` is formed once (O(nb^3) vectorized) and
+  dispatch to the triangular inverse (lane-batched Pallas kernel for side
+  <= 64, MXU block recursion above — pallas_tri.tri_inv) followed by one
+  MXU matmul — ``op(A)^{-1}`` is formed once (O(nb^3) vectorized) and
   applied as a matmul.  Differentiable through the inverse's analytic VJP.
   The triangles here are jittered gram factors (cond(L) = sqrt(cond(K)),
   bounded by the noise floor), so the explicit-inverse route costs ~1 ulp
@@ -30,6 +31,10 @@ import jax.numpy as jnp
 from gpvae_tpu.ops import dispatch, pallas_tri
 
 _HI = jax.lax.Precision.HIGHEST
+
+# above this, the [.., T, T] inverse's memory/extra-flops outgrow the win
+# over the sequential substitution (and conditioning caution grows with T)
+INV_ROUTE_MAX_T = 2048
 
 
 def solve_triangular(
@@ -52,9 +57,9 @@ def solve_triangular(
         via_inverse = (
             dispatch.on_tpu()
             and lower
-            and nb <= pallas_tri.MAX_NB
+            and nb <= INV_ROUTE_MAX_T
         )
-    if via_inverse and lower and nb <= pallas_tri.MAX_NB:
+    if via_inverse and lower and nb <= INV_ROUTE_MAX_T:
         inv = pallas_tri.tri_inv(a)
         op = jnp.swapaxes(inv, -1, -2) if transpose_a else inv
         if left_side:

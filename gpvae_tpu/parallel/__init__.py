@@ -1,4 +1,5 @@
 from gpvae_tpu.parallel.mesh import (
+    fit_data_parallel,
     make_mesh,
     shard_batch,
     replicate,
@@ -6,6 +7,7 @@ from gpvae_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "fit_data_parallel",
     "make_mesh",
     "shard_batch",
     "replicate",

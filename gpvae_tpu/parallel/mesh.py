@@ -130,3 +130,78 @@ def make_parallel_train_step(
             return jitted(state, batch)
 
     return run
+
+
+def fit_data_parallel(
+    model: GPVAE,
+    batches,
+    config,
+    mesh: Mesh | None = None,
+    *,
+    state: TrainState | None = None,
+    axis_name: str = "data",
+    verbose: bool = True,
+):
+    """``train.fit`` over a data-parallel mesh (BASELINE config 5).
+
+    Each batch from ``batches`` is the GLOBAL batch; its leading axis
+    shards over the mesh's ``data`` axis (must divide evenly), parameters
+    and optimizer state replicate, and the gradient reduction compiles to
+    one psum over the interconnect.  Checkpointing/resume go through the
+    same orbax manager as the single-chip loop (replicated arrays are
+    host-addressable).  Returns ``(state, MetricsLog)``.
+    """
+    import time
+
+    from gpvae_tpu import train as train_lib
+
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis_name)
+    first = next(batches)
+    if state is None:
+        state, tx = train_lib.create_train_state(model, first, config)
+    else:
+        tx = optax.adam(config.learning_rate)
+    ckpt = (
+        train_lib.CheckpointManager(
+            config.checkpoint_dir, config.keep_checkpoints
+        )
+        if config.checkpoint_dir else None
+    )
+    if ckpt is not None:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state = restored
+            if verbose:
+                print(f"resumed from step {int(state.step)}")
+    state = replicate(state, mesh)
+    step_fn = make_parallel_train_step(
+        model, tx, config.beta, mesh, axis_name=axis_name
+    )
+    log = train_lib.MetricsLog()
+    step = int(jax.device_get(state.step))
+    last_logged = step
+    t_last = time.perf_counter()
+    batch = first
+    while step < config.num_steps:
+        state, metrics = step_fn(state, shard_batch(batch, mesh, axis_name))
+        step += 1
+        if step % config.log_every == 0 or step >= config.num_steps:
+            jax.block_until_ready(metrics["loss"])
+            now = time.perf_counter()
+            sps = (step - last_logged) / max(now - t_last, 1e-9)
+            t_last, last_logged = now, step
+            host = {k: np.asarray(v) for k, v in metrics.items()}
+            log.append(step, {**host, "steps_per_sec": sps})
+            if verbose:
+                print(
+                    f"step {step}: loss={float(host['loss']):.4f} "
+                    f"({sps:.1f} steps/s x {mesh.shape[axis_name]} devices)"
+                )
+        if ckpt is not None and step % config.checkpoint_every == 0:
+            ckpt.save(state)
+        if step < config.num_steps:
+            batch = next(batches)
+    if ckpt is not None:
+        ckpt.save(state)
+    return state, log

@@ -89,3 +89,29 @@ def test_healing_training_and_imputation():
     assert metrics["missing_pixels"] > 0
     assert np.isfinite(metrics["nll_model"])
     assert metrics["nll_model"] < metrics["nll_marginal_baseline"], metrics
+
+
+def test_cli_evaluate_healing_uses_pixel_metrics(tmp_path, capsys):
+    """evaluate on the healing preset scores missing pixels against the
+    clean targets (pixel_imputation_metrics), not timestep drops."""
+    import json
+
+    from gpvae_tpu.__main__ import main
+
+    main([
+        "train", "--preset", "healing_mnist", "--num-seqs", "24",
+        "--time-len", "3", "--steps", "2", "--log-every", "1",
+        "--batch-size", "8", "--ckpt-dir", str(tmp_path / "ck"),
+    ])
+    capsys.readouterr()
+    main([
+        "evaluate", "--preset", "healing_mnist", "--num-seqs", "24",
+        "--time-len", "3", "--eval-batch", "2", "--batch-size", "8",
+        "--ckpt-dir", str(tmp_path / "ck"),
+    ])
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith("{")][-1]
+    metrics = json.loads(line)
+    assert "missing_pixels" in json.dumps(metrics) or any(
+        "pixel" in k or "missing" in k for k in metrics
+    ), metrics

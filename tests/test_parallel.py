@@ -114,3 +114,36 @@ def test_entry_compile_check():
     fn, args = __graft_entry__.entry()
     loss = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
+
+
+def test_fit_data_parallel_trains(tmp_path):
+    """The DP driver loop (BASELINE config 5): global batches shard over
+    the mesh, loss decreases, checkpoints save and resume."""
+    from gpvae_tpu.parallel import fit_data_parallel
+    from gpvae_tpu.train import TrainConfig
+
+    model, cfg, x, times, mask = __graft_entry__._flagship(t=8, batch=16)
+    batch = {"x": x, "times": times, "mask": mask}
+    batches = iter(lambda: batch, None)  # infinite same-batch iterator
+    config = TrainConfig(
+        learning_rate=3e-3, num_steps=40, log_every=10,
+        checkpoint_every=20, checkpoint_dir=str(tmp_path / "ck"),
+    )
+    mesh = make_mesh(8)
+    state, log = fit_data_parallel(
+        model, batches, config, mesh, verbose=False
+    )
+    losses = [r["loss"] for r in log.rows]
+    assert int(np.asarray(jax.device_get(state.step))) == 40
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    # resume from the checkpoint with a longer horizon
+    config2 = TrainConfig(
+        learning_rate=3e-3, num_steps=50, log_every=10,
+        checkpoint_every=20, checkpoint_dir=str(tmp_path / "ck"),
+    )
+    state2, _ = fit_data_parallel(
+        model, iter(lambda: batch, None), config2, mesh, verbose=False
+    )
+    assert int(np.asarray(jax.device_get(state2.step))) == 50
