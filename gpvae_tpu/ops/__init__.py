@@ -12,7 +12,15 @@ bundled C++/Eigen kernels (SURVEY.md §2.3):
 * ``L @ eps`` sampling matmul-> fused on-MXU in gp.py
 """
 from gpvae_tpu.ops import dispatch
-from gpvae_tpu.ops.chol import cholesky, cholesky_blocked, cholesky_xla
+from gpvae_tpu.ops.chol import (
+    cholesky,
+    cholesky_blocked,
+    cholesky_blocked_fused,
+    cholesky_blocked_left,
+    cholesky_xla,
+)
+from gpvae_tpu.ops.pallas_chol_big import chol_whole_batched
+from gpvae_tpu.ops.pallas_tri import tri_inv, tri_inv_blocked
 from gpvae_tpu.ops.pallas_chol import (
     chol_small_batched,
     gram_chol_fused,
@@ -25,7 +33,12 @@ __all__ = [
     "dispatch",
     "cholesky",
     "cholesky_blocked",
+    "cholesky_blocked_fused",
+    "cholesky_blocked_left",
     "cholesky_xla",
+    "chol_whole_batched",
+    "tri_inv",
+    "tri_inv_blocked",
     "chol_small_batched",
     "gram_chol_fused",
     "LANE_BATCH_MAX_T",

@@ -62,19 +62,22 @@ class TrainConfig:
     # >1: run this many optimizer steps per jitted call (a lax.scan over a
     # stacked super-batch).  Amortizes per-call dispatch — essential when
     # the device is remote (per-step dispatch caps wall throughput far below
-    # chip throughput) and useful everywhere.  None = auto: on TPU, 64 when
-    # the dataset is device-resident (one small index upload per call) and
-    # 16 when batches must be staged from the host each call; 1 elsewhere.
+    # chip throughput) and useful everywhere.  None = auto: on TPU, 256
+    # when the dataset is device-resident (one small index upload per call;
+    # measured 2.7k/4.0k/5.2k steps/s at k=64/128/256 on the toy config)
+    # and 16 when batches must be staged from the host each call; 1
+    # elsewhere.  The loop may overshoot num_steps by up to k-1 steps.
     steps_per_call: int | None = None
 
     def resolved_steps_per_call(self, device_resident: bool = False) -> int:
         if self.steps_per_call is not None:
             return max(1, self.steps_per_call)
         if jax.default_backend() == "tpu":
-            k = 64 if device_resident else 16
+            k = 256 if device_resident else 16
         else:
             k = 1
-        return max(1, min(k, self.num_steps))
+        # never chunk past the log cadence or the run length
+        return max(1, min(k, self.num_steps, max(1, self.log_every)))
 
 
 def create_train_state(

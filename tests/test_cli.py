@@ -50,3 +50,32 @@ def test_train_conv_synthetic_mnist(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "done at step 2" in out
+
+
+def test_train_sparse_preset_smoke(capsys):
+    main([
+        "train", "--preset", "sparse_t4096", "--num-seqs", "32",
+        "--time-len", "64", "--steps", "2", "--log-every", "1",
+        "--batch-size", "4",
+    ])
+    assert "done at step 2" in capsys.readouterr().out
+
+
+def test_train_dp_scale_preset_single_chip_smoke(capsys):
+    """config 5's preset trains single-chip when the batch is shrunk
+    (the full 4096-batch shape is the mesh workload)."""
+    main([
+        "train", "--preset", "dp_scale", "--num-seqs", "32",
+        "--time-len", "32", "--steps", "2", "--log-every", "1",
+        "--batch-size", "8",
+    ])
+    assert "done at step 2" in capsys.readouterr().out
+
+
+def test_train_gp_recog_preset_smoke(capsys):
+    main([
+        "train", "--preset", "gp_recog", "--num-seqs", "8",
+        "--time-len", "4", "--steps", "2", "--log-every", "1",
+        "--batch-size", "4",
+    ])
+    assert "done at step 2" in capsys.readouterr().out
