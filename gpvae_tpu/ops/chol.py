@@ -233,6 +233,63 @@ def cholesky_blocked_left(
 # Dispatch + custom VJP
 # ---------------------------------------------------------------------------
 
+def cholesky_blocked_left_streamed(
+    k: jnp.ndarray, block_size: int = 128
+) -> jnp.ndarray:
+    """Left-looking blocked Cholesky with the history contraction streamed
+    through a Pallas kernel (ops/pallas_left.py): same algorithm as
+    ``cholesky_blocked_left``, but the ``K_panel - L_hist @ L_rowblk^T``
+    pass runs with blocked-spec pipelining and the subtraction fused,
+    avoiding the XLA-level panel materialization between matmul and
+    subtract."""
+    from gpvae_tpu.ops import pallas_left
+
+    n, t, _ = k.shape
+    nb = pallas_left.NB
+    if block_size != nb:
+        raise ValueError(f"streamed path is fixed at block_size={nb}")
+    if t <= pallas_chol.LANE_BATCH_MAX_T:
+        return _chol_diag_block(k.astype(jnp.float32))
+    num_blocks = -(-t // nb)
+    t_pad = num_blocks * nb
+    if t_pad != t:
+        pad = t_pad - t
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, pad)))
+        diag_pad = (jnp.arange(t_pad) >= t).astype(k.dtype)
+        k = k + jnp.eye(t_pad, dtype=k.dtype) * diag_pad[None, None, :]
+    k = k.astype(jnp.float32)
+
+    l = jnp.zeros((n, t_pad, t_pad), jnp.float32)
+    for b in range(num_blocks):
+        o = b * nb
+        if b == 0:
+            panel = k[:, :, :nb]
+        else:
+            panel = pallas_left.hist_panel_update(l, k, b)
+        if dispatch.on_tpu():
+            ld, ld_inv = chol_and_inv(panel[:, :nb, :])
+            if t_pad - o > nb:
+                x = jnp.einsum(
+                    "nrk,njk->nrj", panel[:, nb:, :], ld_inv,
+                    preferred_element_type=jnp.float32, precision=_HI,
+                )
+                col = jnp.concatenate([ld, x], axis=1)
+            else:
+                col = ld
+        else:
+            ld = _chol_diag_block(panel[:, :nb, :])
+            if t_pad - o > nb:
+                x = solve_triangular(
+                    ld, panel[:, nb:, :],
+                    left_side=False, lower=True, transpose_a=True,
+                )
+                col = jnp.concatenate([ld, x], axis=1)
+            else:
+                col = ld
+        l = jax.lax.dynamic_update_slice(l, col, (0, o, o))
+    return l[:, :t, :t]
+
+
 def cholesky_blocked_fused(
     k: jnp.ndarray, block_size: int = 128
 ) -> jnp.ndarray:
@@ -285,10 +342,10 @@ def cholesky_blocked_fused(
 # useful TFLOP/s = N*T^3/3/time):
 #   T=256  N=512: fused 2.66 | right 2.43 | left 1.59
 #   T=512  N=256: right 4.86 | fused 4.53 | left 3.53
-#   T=1024 N=128: left  5.79 | fused 4.90 | right 3.26 | whole 1.04
-#   T=2048 N=32:  left  4.59 | fused 2.27
+#   T=1024 N=128: left-streamed 5.97 | left 4.89 | fused 4.90 | right 3.26
+#   T=2048 N=32:  left-streamed 4.55 | left 4.30 | fused 2.27
 FUSED_MAX_T = 511          # below: streaming fused kernel
-LEFT_LOOKING_MIN_T = 768   # above: left-looking; between: right-looking
+LEFT_LOOKING_MIN_T = 768   # above: streamed left-looking; between: right
 
 
 def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
@@ -303,7 +360,7 @@ def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
             elif t < LEFT_LOOKING_MIN_T:
                 method = "blocked"
             else:
-                method = "blocked_left"
+                method = "blocked_left_streamed"
         else:
             method = "xla"
     if method == "xla":
@@ -315,6 +372,8 @@ def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
         lb = cholesky_blocked(kb)
     elif method == "blocked_left":
         lb = cholesky_blocked_left(kb)
+    elif method == "blocked_left_streamed":
+        lb = cholesky_blocked_left_streamed(kb)
     elif method == "blocked_fused":
         lb = cholesky_blocked_fused(kb)
     elif method == "whole":

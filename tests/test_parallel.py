@@ -147,3 +147,45 @@ def test_fit_data_parallel_trains(tmp_path):
         model, iter(lambda: batch, None), config2, mesh, verbose=False
     )
     assert int(np.asarray(jax.device_get(state2.step))) == 50
+
+
+def test_parallel_step_with_toeplitz_prior():
+    """The structured-prior model (config 3) compiles and matches the
+    single-device step under the DP mesh — the Durbin scan and GS matmuls
+    shard with the batch."""
+    from gpvae_tpu.models import GPVAE, GPVAEConfig
+
+    t, b = 16, 16
+    cfg = GPVAEConfig(
+        latent_dim=2, obs_dim=15, time_len=t,
+        prior="gp", posterior="gp",
+        prior_lengthscales=(9.0, 3.0), posterior_lengthscales=(5.0, 2.0),
+        encoder="dense", decoder="dense",
+        shared_time_grid=True, structured_prior="toeplitz",
+    )
+    model = GPVAE(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": (rng.random((b, t, 15)) < 0.4).astype(np.float32),
+        "times": np.broadcast_to(
+            np.arange(t, dtype=np.float32), (b, t)
+        ).copy(),
+        "mask": np.ones((b, t), bool),
+    }
+    config = TrainConfig(learning_rate=2e-4)
+    state, tx = create_train_state(model, batch, config)
+    state2, _ = create_train_state(model, batch, config)
+    sched = elbo_lib.BetaSchedule()
+
+    single = make_train_step(model, tx, sched, donate=False)
+    _, m1 = single(state2, batch)
+
+    mesh = make_mesh(8)
+    pstep = make_parallel_train_step(model, tx, sched, mesh)
+    _, m2 = pstep(replicate(state, mesh), shard_batch(batch, mesh))
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m1["kl"]), float(m2["kl"]), rtol=1e-4
+    )

@@ -262,3 +262,17 @@ def test_chol_gram_bank_times_gradient_matches_unfused():
     # of training throughput and times are data in every shipped model)
     g_default = jax.grad(lambda tt: fused_sum(tt, False))(times)
     assert np.allclose(np.asarray(g_default), 0.0)
+
+
+@pytest.mark.parametrize("t", [200, 300])
+def test_cholesky_blocked_left_streamed_vs_oracle(t):
+    """The Pallas-streamed history contraction (ops/pallas_left.py)."""
+    rng = np.random.default_rng(6)
+    k = _random_psd(rng, 3, t)
+    got = np.asarray(
+        chol.cholesky_blocked_left_streamed(jnp.asarray(k, jnp.float32))
+    )
+    want = np.linalg.cholesky(k)
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 5e-5, err
+    assert np.allclose(got, np.tril(got))
