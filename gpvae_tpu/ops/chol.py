@@ -68,7 +68,9 @@ def _mm(a, b):
     )
 
 
-def chol_and_inv(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def chol_and_inv(
+    d: jnp.ndarray, base: int | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(L, L^{-1}) of batched PSD ``d [N, nb, nb]`` for nb a power-of-two
     multiple of 64 (or <= 64 directly).
 
@@ -83,16 +85,18 @@ def chol_and_inv(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     sequential-recurrence work stays in the 64-wide lane kernels.
     """
     n, nb, _ = d.shape
-    if nb <= pallas_chol.LANE_BATCH_MAX_T:
+    if base is None:
+        base = pallas_chol.LANE_BATCH_MAX_T
+    if nb <= base or nb <= 8:
         if dispatch.on_tpu():
             return pallas_chol.chol_inv_small_batched(d)
         l = _chol_diag_block(d)
         return l, pallas_tri.tri_inv_small_batched(l)
     h = nb // 2
-    l11, inv11 = chol_and_inv(d[:, :h, :h])
+    l11, inv11 = chol_and_inv(d[:, :h, :h], base)
     a21 = _mm(d[:, h:, :h], jnp.swapaxes(inv11, -1, -2))
     s22 = d[:, h:, h:] - _mm(a21, jnp.swapaxes(a21, -1, -2))
-    l22, inv22 = chol_and_inv(s22)
+    l22, inv22 = chol_and_inv(s22, base)
     inv21 = -_mm(_mm(inv22, a21), inv11)
     zero = jnp.zeros((n, h, h), jnp.float32)
     l = jnp.concatenate([
