@@ -131,3 +131,29 @@ def test_solve_triangular_via_inverse_flag():
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), rtol=2e-3, atol=1e-4
             )
+
+
+def test_gp_kl_inverse_route_large_t_matches_solve():
+    """The inverse-routed KL now extends past the lane-kernel max (to
+    trsm.INV_ROUTE_MAX_T) via the block-recursive triangular inverse."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gpvae_tpu import gp
+
+    rng = np.random.default_rng(7)
+    b, t, z = 3, 200, 2
+    times = jnp.asarray(np.sort(rng.uniform(0, 60, (b, t)), -1), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((b, t, z)), jnp.float32)
+    l_q = gp.chol_gram_bank(times, jnp.asarray([5.0, 2.0], jnp.float32))
+    l_p = gp.chol_gram_bank(times, jnp.asarray([9.0, 3.0], jnp.float32))
+
+    prev = gp.FORCE_INVERSE_PATH
+    try:
+        gp.FORCE_INVERSE_PATH = False
+        solve = np.asarray(gp.gp_kl(mu, l_q, l_p))
+        gp.FORCE_INVERSE_PATH = True
+        inv = np.asarray(gp.gp_kl(mu, l_q, l_p))
+    finally:
+        gp.FORCE_INVERSE_PATH = prev
+    np.testing.assert_allclose(inv, solve, rtol=2e-3, atol=2e-3)
