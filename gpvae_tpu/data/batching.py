@@ -48,7 +48,12 @@ class Batcher:
             self._pos = 0
         idx = self._order[self._pos:self._pos + self.batch_size]
         self._pos += self.batch_size
-        return idx
+        # A *copy*, not a view: callers (train.fit's sampled multi-step path)
+        # collect several index batches before stacking, and a wrap-reshuffle
+        # in a later call would mutate previously returned views in place —
+        # silently duplicating batches for any dataset smaller than
+        # steps_per_call * batch_size.
+        return idx.copy()
 
     def __next__(self) -> dict:
         idx = self.next_indices()

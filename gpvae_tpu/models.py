@@ -150,6 +150,41 @@ class GPVAEConfig:
         return self.structured_prior == "toeplitz"
 
 
+def check_structured_grid(config: GPVAEConfig, times, mask=None) -> None:
+    """Host-side validation for the Toeplitz structured prior.
+
+    ``gp.gp_kl_toeplitz_prior`` builds the prior row from ``config.time_len``
+    and the first grid step — under jit it cannot detect a non-arithmetic
+    grid or a runtime T that disagrees with the config, and would silently
+    compute a wrong prior.  Call this at a non-jit boundary (train.fit and
+    the CLI do) with the first batch's ``times [B, T]``.
+    """
+    if not config.toeplitz_prior:
+        return
+    import numpy as np
+    t_arr = np.asarray(times)
+    if t_arr.ndim != 2:
+        raise ValueError(f"times must be [B, T], got {t_arr.shape}")
+    t = t_arr.shape[1]
+    if t != config.time_len:
+        raise ValueError(
+            f"structured_prior='toeplitz': batch T={t} != config.time_len="
+            f"{config.time_len}; the prior row is built at time_len"
+        )
+    row = t_arr[0].astype(np.float64)
+    steps = np.diff(row)
+    if steps.size and not np.allclose(steps, steps[0], rtol=1e-4, atol=1e-6):
+        raise ValueError(
+            "structured_prior='toeplitz' requires an arithmetic (uniform) "
+            f"time grid; got steps in [{steps.min():.6g}, {steps.max():.6g}]"
+        )
+    if mask is not None and not np.all(np.asarray(mask)):
+        raise ValueError(
+            "structured_prior='toeplitz' requires a full mask (shared "
+            "uniform grid, no missing steps)"
+        )
+
+
 @dataclasses.dataclass
 class ELBOOutput:
     loss: jnp.ndarray          # scalar: mean over batch of (nll + beta*kl)

@@ -65,9 +65,13 @@ def _make_kernel(m: int, r: int):
         colx_ref[...] = xj
         row0 = pl.multiple_of(j * nb, nb)
         x_buf[:, pl.ds(row0, nb), :] = xj
-        # full-width contraction: X rows <= tile end are fresh (this slab,
-        # earlier tiles + this one); later rows are stale and only feed the
-        # never-read upper-triangular columns of the output
+        # Full-width contraction.  Correctness invariant: X rows <= tile end
+        # are fresh for THIS slab because the grid iterates j (the row tile)
+        # as the minor axis and the VMEM scratch persists across grid
+        # iterations; rows past the tile end are stale — at j=0 of slab i>0
+        # they are leftovers from the PREVIOUS slab — and feed only the
+        # upper-triangular output columns, which no consumer reads (the next
+        # block step touches the panel + diagonal blocks only).
         upd = jax.lax.dot_general(
             xj, x_buf[...], (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=_HI,

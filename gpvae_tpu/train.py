@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+import warnings
 from typing import Any, Callable, Iterator
 
 import jax
@@ -31,6 +32,7 @@ import numpy as np
 import optax
 
 from gpvae_tpu import elbo as elbo_lib
+from gpvae_tpu import models as models_lib
 from gpvae_tpu.models import GPVAE
 
 
@@ -342,6 +344,17 @@ class MetricsLog:
                 )
                 with open(self._csv, "a") as f:
                     f.write(",".join(self._columns) + "\n")
+            extra = set(flat) - set(self._columns)
+            if extra:
+                # the header is frozen at the first append; a metric key
+                # that first appears later would otherwise vanish from the
+                # CSV for the whole run with no trace
+                warnings.warn(
+                    f"MetricsLog: metric keys {sorted(extra)} appeared "
+                    f"after the CSV header was written and are dropped "
+                    f"from {self._csv} (present in .rows)",
+                    stacklevel=2,
+                )
             with open(self._csv, "a") as f:
                 f.write(",".join(
                     str(flat.get(c, "")) for c in self._columns
@@ -382,6 +395,12 @@ def fit(
         }
     else:
         first = next(batches)
+    if first.get("times") is not None:
+        # fail fast on a non-uniform grid before jit silently computes a
+        # wrong structured prior (see models.check_structured_grid)
+        models_lib.check_structured_grid(
+            model.config, first["times"], first.get("mask")
+        )
     if state is None:
         state, tx = create_train_state(model, first, config)
     else:

@@ -75,6 +75,26 @@ def test_batcher_wrap_reshuffles():
     assert b.steps_per_epoch == 2
 
 
+def test_batcher_next_indices_stable_across_reshuffle():
+    # Regression (round-2 advisor, high): next_indices() used to return a
+    # view into the internal order array; a wrap-reshuffle in a later call
+    # mutated all previously collected views, so multi-step chunks trained
+    # on duplicated batches.  Collect a full chunk of index batches first
+    # (as train.fit's sampled path does), then check coverage.
+    arrays = {"x": np.arange(10)[:, None]}
+    b = Batcher(arrays, batch_size=4, seed=0)
+    chunks = [b.next_indices() for _ in range(6)]  # 3 epochs' worth
+    flat = np.concatenate(chunks)
+    # 6 batches x 4 rows over n=10 must cover most rows, and the collected
+    # batches must be what they were when returned (distinct, not all equal)
+    assert len(np.unique(flat)) >= 8
+    assert not all(np.array_equal(chunks[0], c) for c in chunks[1:])
+    # every epoch (2 full batches) covers 8 distinct rows
+    for e in range(3):
+        epoch = np.concatenate(chunks[2 * e:2 * e + 2])
+        assert len(np.unique(epoch)) == 8
+
+
 def test_moving_mnist_pipeline():
     vids = synthetic_moving_mnist(20, t=6, size=64)
     assert vids.shape == (6, 20, 64, 64)
