@@ -319,26 +319,33 @@ def gp_kl_toeplitz_prior(
 
     b, t = mu.shape[0], mu.shape[-2]
     ld_p, a_col, b_col, e = toeplitz.durbin_gs_factors(prior_row)
-    a_mat = toeplitz.tri_toeplitz(a_col)                # [Z, T, T]
-    b_mat = toeplitz.tri_toeplitz(b_col)
-    _hi = jax.lax.Precision.HIGHEST
+    # A^T / B^T applications ride one shared FFT of the operand: the
+    # anticausal correlation irfft(conj(rfft(col)) * rfft(y))[:T] is the
+    # triangular-Toeplitz product in O(T log T) per column — the [Z, T, T]
+    # A/B matrices never exist and the trace term costs O(Z T^2 log T)
+    # instead of dense O(Z T^3) MXU matmuls.
+    m_fft = toeplitz._fft_len(t)
+    fa = jnp.conj(jnp.fft.rfft(a_col, n=m_fft, axis=-1))   # [Z, M/2+1]
+    fb = jnp.conj(jnp.fft.rfft(b_col, n=m_fft, axis=-1))
 
-    def _tr(m):  # ||M^T L_q||_F^2 over the shared-or-batched factor
-        y = jnp.einsum(
-            "zji,...zjk->...zik", m, l_q,
-            preferred_element_type=jnp.float32, precision=_hi,
+    def _both_sq(y):
+        """(||A^T y||^2, ||B^T y||^2) summed over the last two axes,
+        sharing one forward FFT of ``y [..., Z, T, C]``."""
+        fy = jnp.fft.rfft(y, n=m_fft, axis=-2)
+        ya = jnp.fft.irfft(fa[..., :, None] * fy, n=m_fft, axis=-2)[
+            ..., :t, :
+        ]
+        yb = jnp.fft.irfft(fb[..., :, None] * fy, n=m_fft, axis=-2)[
+            ..., :t, :
+        ]
+        return jnp.sum(ya * ya, axis=(-2, -1)), jnp.sum(
+            yb * yb, axis=(-2, -1)
         )
-        return jnp.sum(y * y, axis=(-2, -1))            # [B or 1, Z]
 
-    def _quad(m):
-        y = jnp.einsum(
-            "zji,bjz->bzi", m, mu,
-            preferred_element_type=jnp.float32, precision=_hi,
-        )
-        return jnp.sum(y * y, axis=-1)                  # [B, Z]
-
-    tr = (_tr(a_mat) - _tr(b_mat)) / e
-    quad = (_quad(a_mat) - _quad(b_mat)) / e
+    tr_a, tr_b = _both_sq(l_q)                          # [B or 1, Z]
+    qa, qb = _both_sq(jnp.swapaxes(mu, -1, -2)[..., None])  # [B, Z]
+    tr = (tr_a - tr_b) / e
+    quad = (qa - qb) / e
     ld_q = logdet_from_chol(l_q)
     return 0.5 * (
         jnp.broadcast_to(tr, quad.shape) + quad - t
@@ -368,18 +375,12 @@ def gp_prior_diag_kl_toeplitz(
     ) / e[..., None]                                    # [Z, T]
     v_bz = jnp.swapaxes(jnp.exp(log_var), -1, -2)       # [B, Z, T]
     tr = jnp.sum(dinv[None] * v_bz, axis=-1)            # [B, Z]
-    a_mat = toeplitz.tri_toeplitz(a_col)
-    b_mat = toeplitz.tri_toeplitz(b_col)
-    _hi = jax.lax.Precision.HIGHEST
-
-    def _quad(m):
-        y = jnp.einsum(
-            "zji,bjz->bzi", m, mu,
-            preferred_element_type=jnp.float32, precision=_hi,
-        )
-        return jnp.sum(y * y, axis=-1)
-
-    quad = (_quad(a_mat) - _quad(b_mat)) / e
+    mu_c = jnp.swapaxes(mu, -1, -2)[..., None]          # [B, Z, T, 1]
+    ya = toeplitz.tri_toeplitz_matvec_t(a_col, mu_c)
+    yb = toeplitz.tri_toeplitz_matvec_t(b_col, mu_c)
+    quad = (
+        jnp.sum(ya * ya, axis=(-2, -1)) - jnp.sum(yb * yb, axis=(-2, -1))
+    ) / e
     sum_log_v = jnp.sum(jnp.swapaxes(log_var, -1, -2), axis=-1)
     return 0.5 * (tr + quad - t + ld_p[None] - sum_log_v)
 

@@ -11,7 +11,10 @@ across the batch):
 * :func:`durbin_logdet` — log-determinant in O(T^2) via the Durbin
   recursion's prediction-error variances (det T = prod_k E_k), as a
   ``lax.scan`` of full-width VPU ops;
-* :func:`levinson_solve` — K x = b in O(T^2) per right-hand side;
+* :func:`tri_toeplitz_matvec` / :func:`tri_toeplitz_matvec_t` — O(T log T)
+  FFT application of the Gohberg-Semencul inverse factors (solves and the
+  KL trace/quad terms ride these; a scan-based Levinson solver was removed
+  in round 3 as production-dead once the GS route landed);
 * :func:`circulant_prior_sample` — exact GP prior draws on a uniform grid
   in O(T log T) via circulant embedding + FFT, replacing the O(T^3)
   chol-then-matmul sampling path for long sequences.
@@ -33,8 +36,8 @@ def _durbin_scan(rho: jnp.ndarray):
     """Run the Durbin recursion on normalized autocovariances ``rho [T-1]``.
 
     Returns (log_errors [T-1], y, rev_y): per-order normalized prediction
-    error variances E_k (log), and the final forward solution (for
-    levinson_solve).
+    error variances E_k (log), and the final forward (Yule-Walker) solution
+    with its reversal (the Gohberg-Semencul ingredients).
     """
     t1 = rho.shape[-1]
     idx = jnp.arange(t1)
@@ -137,58 +140,50 @@ def durbin_gs_factors(
     )
 
 
-@jax.jit
-def levinson_solve(row: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve ``T x = b`` for symmetric PD Toeplitz ``T`` (first row ``row``
-    [T], rhs ``b`` [..., T]) in O(T^2) via the Levinson recursion."""
-    row = jnp.asarray(row)
-    t = row.shape[-1]
-    r0 = row[0]
-    rho = row[1:] / r0
-    b_norm = b / r0
-    idx = jnp.arange(t - 1)
+def _fft_len(t: int) -> int:
+    """Power-of-two FFT length >= 2T-1 (radix-2 keeps the TPU FFT fast)."""
+    m = 1
+    while m < 2 * t - 1:
+        m *= 2
+    return m
 
-    def solve_one(bv):
-        def step(carry, k):
-            y, rev_y, e, x = carry
-            validk = (idx < k).astype(rho.dtype)
-            # extend the forward (Durbin) solution to order k+1
-            num = rho[k] + jnp.sum(rho * rev_y * validk)
-            alpha = -num / e
-            y_new = jnp.where(
-                idx == k, alpha,
-                jnp.where(idx < k, y + alpha * rev_y, 0.0),
-            )
-            rev_shift = jnp.roll(rev_y + alpha * y, 1)
-            rev_new = jnp.where(
-                idx == 0, alpha, jnp.where(idx <= k, rev_shift, 0.0)
-            )
-            e_new = e * (1.0 - alpha * alpha)
-            # extend the solution x to order k+1 (Levinson step)
-            xi = jnp.arange(t)
-            validx = (xi < k + 1).astype(rho.dtype)
-            # mu = (b[k+1] - <rho reversed over current window, x>) / E
-            rev_x_dot = jnp.sum(
-                jnp.where(xi < k + 1, rho[jnp.clip(k - xi, 0, t - 2)] * x, 0.0)
-            )
-            mu = (bv[k + 1] - rev_x_dot) / e_new
-            rev_y_full = jnp.concatenate([rev_new, jnp.zeros((1,), rho.dtype)])
-            x_new = x + mu * jnp.where(
-                xi == k + 1, 1.0, jnp.where(xi < k + 1, rev_y_full, 0.0)
-            )
-            x_new = jnp.where(xi <= k + 1, x_new, 0.0)
-            return (y_new, rev_new, e_new, x_new), None
 
-        x0 = jnp.zeros((t,), rho.dtype).at[0].set(bv[0])
-        init = (
-            jnp.zeros_like(rho), jnp.zeros_like(rho),
-            jnp.asarray(1.0, rho.dtype), x0,
-        )
-        (_, _, _, x), _ = jax.lax.scan(step, init, jnp.arange(t - 1))
-        return x
+def tri_toeplitz_matvec_t(
+    col: jnp.ndarray, y: jnp.ndarray
+) -> jnp.ndarray:
+    """``A^T @ y`` for lower-triangular Toeplitz ``A`` (first column
+    ``col [Z, T]``) applied to ``y [..., Z, T, C]`` along the T axis,
+    in O(T log T) per column via FFT correlation — no ``[Z, T, T]`` matrix.
 
-    flat = b_norm.reshape((-1, t))
-    return jax.vmap(solve_one)(flat).reshape(b.shape)
+    ``(A^T y)[i] = sum_{j >= i} col[j - i] * y[j]`` is an anticausal
+    correlation: with both operands zero-padded to M >= 2T-1,
+    ``irfft(conj(rfft(col)) * rfft(y))[..., :T]`` gives exactly the
+    non-negative lags.  This is what makes the Gohberg-Semencul inverse
+    *application* O(T^2 log T) for the whole trace term instead of dense
+    O(T^3) matmuls (the round-2 structured path materialized ``A``/``B``
+    densely and lost to the dense prior at its own design point).
+    """
+    t = col.shape[-1]
+    m = _fft_len(t)
+    fc = jnp.conj(jnp.fft.rfft(col, n=m, axis=-1))      # [Z, M/2+1]
+    fy = jnp.fft.rfft(y, n=m, axis=-2)                  # [..., Z, M/2+1, C]
+    prod = fc[..., :, None] * fy
+    out = jnp.fft.irfft(prod, n=m, axis=-2)[..., :t, :]
+    return out.astype(y.dtype)
+
+
+def tri_toeplitz_matvec(
+    col: jnp.ndarray, y: jnp.ndarray
+) -> jnp.ndarray:
+    """``A @ y`` (causal convolution) for lower-triangular Toeplitz ``A``
+    with first column ``col [Z, T]``; ``y [..., Z, T, C]``."""
+    t = col.shape[-1]
+    m = _fft_len(t)
+    fc = jnp.fft.rfft(col, n=m, axis=-1)
+    fy = jnp.fft.rfft(y, n=m, axis=-2)
+    prod = fc[..., :, None] * fy
+    out = jnp.fft.irfft(prod, n=m, axis=-2)[..., :t, :]
+    return out.astype(y.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples",))

@@ -35,28 +35,6 @@ def test_durbin_logdet_batched():
         assert abs(float(got[i]) - want) < 1e-6 * max(1.0, abs(want))
 
 
-@pytest.mark.parametrize("t,ls", [(16, 2.0), (48, 4.0)])
-def test_levinson_solve_vs_dense(t, ls):
-    rng = np.random.default_rng(0)
-    row = make_row(t, ls)
-    dense = np.asarray(kernels.toeplitz_to_dense(jnp.asarray(row)))
-    b = rng.standard_normal(t)
-    want = np.linalg.solve(dense, b)
-    got = np.asarray(toeplitz.levinson_solve(jnp.asarray(row), jnp.asarray(b)))
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
-
-
-def test_levinson_solve_batched_rhs():
-    rng = np.random.default_rng(1)
-    t = 24
-    row = make_row(t, 3.0)
-    dense = np.asarray(kernels.toeplitz_to_dense(jnp.asarray(row)))
-    b = rng.standard_normal((5, t))
-    got = np.asarray(toeplitz.levinson_solve(jnp.asarray(row), jnp.asarray(b)))
-    want = np.linalg.solve(dense, b.T).T
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
-
-
 def test_circulant_prior_sample_covariance():
     # empirical covariance of FFT draws matches the dense Toeplitz gram
     t = 24
@@ -79,3 +57,28 @@ def test_durbin_logdet_long_sequence():
     dense = np.asarray(kernels.toeplitz_to_dense(jnp.asarray(row)))
     want = np.linalg.slogdet(dense)[1]
     assert abs(got - want) / abs(want) < 1e-6
+
+
+@pytest.mark.parametrize("t", [16, 45, 128])
+def test_fft_tri_toeplitz_matvec_vs_dense(t):
+    # A y and A^T y via FFT correlation == dense triangular-Toeplitz matmul
+    rng = np.random.default_rng(3)
+    col = jnp.asarray(rng.standard_normal((2, t)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((2, t, 5)).astype(np.float32))
+    dense = np.asarray(toeplitz.tri_toeplitz(col))          # [2, T, T]
+    got_t = np.asarray(toeplitz.tri_toeplitz_matvec_t(col, y))
+    want_t = np.einsum("zji,zjc->zic", dense, np.asarray(y))
+    np.testing.assert_allclose(got_t, want_t, rtol=2e-5, atol=2e-5)
+    got = np.asarray(toeplitz.tri_toeplitz_matvec(col, y))
+    want = np.einsum("zij,zjc->zic", dense, np.asarray(y))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fft_tri_toeplitz_matvec_batched_leading():
+    rng = np.random.default_rng(4)
+    col = jnp.asarray(rng.standard_normal((3, 20)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((4, 3, 20, 2)).astype(np.float32))
+    dense = np.asarray(toeplitz.tri_toeplitz(col))
+    got = np.asarray(toeplitz.tri_toeplitz_matvec_t(col, y))
+    want = np.einsum("zji,bzjc->bzic", dense, np.asarray(y))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
