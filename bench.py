@@ -263,46 +263,51 @@ def time_cholesky(t: int, n: int, reps: int = 10, inner: int | None = None,
     Inputs are RBF grams built on device (the framework's actual workload;
     host-side PSD generation at these sizes costs minutes of numpy matmul).
 
-    The factorization runs ``inner`` times *on device* inside one jitted
-    fori_loop, chained through a (numerically negligible) data dependency
-    so XLA cannot hoist it — sub-millisecond kernels measured one dispatch
-    at a time through the ~25-30 ms remote tunnel showed multi-x
-    run-to-run wall noise.
+    Round-3 methodology fix (VERDICT r2): the old loop rescaled the full
+    gram bank and summed the entire factor *inside* the timed region —
+    ~2.5 extra full-bank HBM passes per iteration, which at T=256 roughly
+    doubled the measured time.  Now the timed iteration is exactly the op:
+    several *distinct* pre-staged banks (CSE-proof) are factored in an
+    unrolled chain serialized through ``optimization_barrier`` (hoist- and
+    overlap-proof, aliasing so no input copy); the factor is forced to
+    materialize with a barrier (production consumers read it) and then only
+    its O(N*T) log-diagonal is consumed.
     """
     import jax
     import jax.numpy as jnp
     from gpvae_tpu import kernels as kernels_lib
     from gpvae_tpu.ops import chol_logdet
 
+    copies = 4 if t <= 512 else 2
     if inner is None:
-        # small: amortize dispatch; large: bound compile time (inner=32
-        # around the multi-pallas-call fused path compiled pathologically)
-        inner = 8 if t <= 512 else 4
+        # unrolled factorizations per timed call: enough device work to
+        # dwarf the tunnel-latency jitter, bounded compile time at large T
+        inner = 16 if t <= 512 else 8
+    repeats = max(1, inner // copies)
     rng = np.random.default_rng(1)
     times = jnp.asarray(
-        np.sort(rng.uniform(0, t, (n, t)), -1).astype(np.float32)
+        np.sort(rng.uniform(0, t, (copies, n, t)), -1).astype(np.float32)
     )
     kd = jax.jit(
-        lambda tt: kernels_lib.gram_bank(
-            tt, jnp.array([5.0], jnp.float32), noise=1e-2
-        )[:, 0]
+        jax.vmap(
+            lambda tt: kernels_lib.gram_bank(
+                tt, jnp.array([5.0], jnp.float32), noise=1e-2
+            )[:, 0]
+        )
     )(times)
-    float(jnp.sum(kd))  # settle (block_until_ready does not sync here)
+    float(jnp.sum(kd[0, 0]))  # settle (block_until_ready does not sync)
 
     @jax.jit
     def run(kd):
-        def body(_, carry):
-            scale, acc = carry
-            l, ld = chol_logdet(kd * scale)
-            # consume the whole factor so XLA cannot dead-code any of it;
-            # thread acc into the next scale (×1e-24: forces the
-            # dependency, perturbs K by ~ulp)
-            acc = acc + ld.sum() + jnp.sum(l)
-            return 1.0 + acc * 1e-24, acc
-
-        _, acc = jax.lax.fori_loop(
-            0, inner, body, (jnp.float32(1.0), jnp.float32(0.0))
-        )
+        acc = jnp.float32(0.0)
+        for _ in range(repeats):
+            for c in range(copies):
+                k, _ = jax.lax.optimization_barrier((kd[c], acc))
+                l, ld = chol_logdet(k)
+                l = jax.lax.optimization_barrier(l)
+                acc = acc + ld.sum() + jnp.sum(
+                    jnp.log(jnp.diagonal(l, axis1=-2, axis2=-1))
+                )
         return acc
 
     t0 = time.perf_counter()
@@ -310,7 +315,7 @@ def time_cholesky(t: int, n: int, reps: int = 10, inner: int | None = None,
     if verbose:
         print(f"[bench] chol T={t} compile+warm {time.perf_counter()-t0:.1f}s",
               flush=True)
-    dt = timed_median(lambda: run(kd), reps) / inner
+    dt = timed_median(lambda: run(kd), reps) / (repeats * copies)
     return n * (t ** 3) / 3.0 / dt / 1e12
 
 

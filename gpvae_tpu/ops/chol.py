@@ -378,6 +378,12 @@ def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
         lb = cholesky_blocked_left(kb)
     elif method == "blocked_left_streamed":
         lb = cholesky_blocked_left_streamed(kb)
+    elif method == "blocked_inplace":
+        from gpvae_tpu.ops import pallas_big
+        lb = pallas_big.cholesky_inplace(kb)
+    elif method == "blocked_inplace_128":
+        from gpvae_tpu.ops import pallas_big
+        lb = pallas_big.cholesky_inplace(kb, nb=128)
     elif method == "blocked_fused":
         lb = cholesky_blocked_fused(kb)
     elif method == "whole":
