@@ -123,8 +123,24 @@ def cmd_train(args):
 
     batches, _ = _load_batches(args, preset, model_cfg)
     model = GPVAE(model_cfg)
+    callbacks = None
+    if args.plots:
+        # periodic input/reconstruction/latent artifacts during training —
+        # the reference's every-10-20k-step savefig blocks
+        # (src/Models/syndata/GP_VAE_syn_data.py:375-392)
+        from gpvae_tpu import analysis
+
+        probe = {
+            k: v[: min(8, batches.batch_size)]
+            for k, v in batches.arrays.items()
+        }
+        callbacks = [(
+            args.plots_every,
+            analysis.make_artifact_callback(model, probe, args.plots),
+        )]
     state, log = train_lib.fit(
         model, iter(batches), train_cfg, csv_path=args.csv,
+        callbacks=callbacks,
     )
     final = log.rows[-1] if log.rows else {}
     print(
@@ -180,6 +196,22 @@ def cmd_evaluate(args):
             drop_fraction=args.drop_fraction,
         )
     print(json.dumps(metrics))
+
+    if args.stats:
+        # MC activation/variance statistics (the reference's commented
+        # analysis block, src/Models/FullGP_and_GPdecoder_dynamic_time_
+        # analysis.py:204-227) — per-dim variance of MC latent means,
+        # sorted descending
+        _, var_sorted = analysis.activation_stats(
+            model, state.params, x, times, mask,
+            key=jax.random.key(args.seed + 3),
+            num_samples=args.stats_samples,
+        )
+        print(json.dumps({
+            "activation_variance_sorted": [
+                round(float(v), 6) for v in np.asarray(var_sorted)
+            ],
+        }))
 
     if args.plots:
         import os
@@ -271,6 +303,10 @@ def main(argv=None):
     t.add_argument("--log-every", type=int)
     t.add_argument("--steps-per-call", type=int,
                    help="optimizer steps per jitted call (amortizes dispatch)")
+    t.add_argument("--plots", help="directory for periodic training "
+                   "artifacts (film strips / latent trajectories)")
+    t.add_argument("--plots-every", type=int, default=10_000,
+                   help="callback period for --plots (reference: 10-20k)")
     t.add_argument("--batch-size", type=int,
                    help="override the preset's batch size")
     t.add_argument("--seed", type=int, default=0)
@@ -287,6 +323,9 @@ def main(argv=None):
     e.add_argument("--plots", help="directory for PNG artifacts")
     e.add_argument("--traversal", type=int,
                    help="also dump latent-traversal strips for this dim")
+    e.add_argument("--stats", action="store_true",
+                   help="print MC activation/variance statistics")
+    e.add_argument("--stats-samples", type=int, default=100)
     e.add_argument("--batch-size", type=int,
                    help="override the preset's batch size")
     e.add_argument("--seed", type=int, default=0)

@@ -347,3 +347,50 @@ def _param_or_const(model: GPVAE, params, name: str, cfg):
         else cfg.posterior_lengthscales
     )
     return jnp.log(jnp.asarray(cfg._ls_tuple(raw), jnp.float32))
+
+
+def make_artifact_callback(model: GPVAE, probe_batch: dict, out_dir: str):
+    """Periodic training-artifact dump: input / reconstruction film strips
+    (conv decoders) or latent-trajectory scatter (dense decoders), written
+    as PNGs every time the callback fires — the reference's in-loop
+    ``savefig`` blocks (src/Models/syndata/GP_VAE_syn_data.py:375-392;
+    src/Models/Full_GP_VAE_dynamic_time.py:385-410) as a ``train.fit``
+    callback.  Returns ``fn(state, step)`` for the ``callbacks`` list.
+    """
+    import os
+
+    from gpvae_tpu.utils import plotting
+
+    os.makedirs(out_dir, exist_ok=True)
+    x = jnp.asarray(probe_batch["x"])
+    times = jnp.asarray(probe_batch["times"], jnp.float32)
+    mask = jnp.asarray(probe_batch["mask"])
+
+    @jax.jit
+    def forward(params, key):
+        return model.apply(
+            {"params": params}, x, times, mask, rngs={"sample": key},
+        )
+
+    def cb(state, step):
+        out = forward(state.params, jax.random.key(step))
+        probs = jax.nn.sigmoid(out.logits[0])  # first sample
+        if model.config.decoder == "conv":
+            plotting.film_strip(
+                np.asarray(x[0]),
+                os.path.join(out_dir, f"input_{step:08d}.png"),
+                title=f"input (step {step})",
+            )
+            plotting.film_strip(
+                np.asarray(probs[0]),
+                os.path.join(out_dir, f"recon_{step:08d}.png"),
+                title=f"reconstruction (step {step})",
+            )
+        else:
+            plotting.trajectory_plot(
+                np.asarray(times[0]), np.asarray(out.latent_mean[0]),
+                os.path.join(out_dir, f"latents_{step:08d}.png"),
+                mask=np.asarray(mask[0]),
+            )
+
+    return cb

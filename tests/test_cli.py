@@ -79,3 +79,39 @@ def test_train_gp_recog_preset_smoke(capsys):
         "--batch-size", "4",
     ])
     assert "done at step 2" in capsys.readouterr().out
+
+
+def test_train_plots_and_evaluate_stats(tmp_path, capsys):
+    # --plots during train writes artifacts mid-run (VERDICT r2 #8);
+    # evaluate --stats prints the activation-variance block
+    data_path = str(tmp_path / "toy.npz")
+    main([
+        "generate-data", "--out", data_path, "--num-seqs", "24",
+        "--time-len", "10",
+    ])
+    plots = tmp_path / "train_plots"
+    main([
+        "train", "--preset", "syn_data", "--data", data_path,
+        "--time-len", "10", "--steps", "20", "--log-every", "10",
+        "--plots", str(plots), "--plots-every", "10",
+        "--ckpt-dir", str(tmp_path / "ckpt"),
+    ])
+    pngs = sorted(p.name for p in plots.glob("*.png"))
+    assert pngs, "no training artifacts written"
+    assert any(p.startswith("latents_") for p in pngs)
+
+    capsys.readouterr()
+    import json
+    main([
+        "evaluate", "--preset", "syn_data", "--data", data_path,
+        "--time-len", "10", "--num-seqs", "24", "--eval-batch", "4",
+        "--ckpt-dir", str(tmp_path / "ckpt"),
+        "--stats", "--stats-samples", "8",
+    ])
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+    stats = [json.loads(ln) for ln in lines
+             if "activation_variance_sorted" in ln]
+    assert stats, out
+    var = stats[0]["activation_variance_sorted"]
+    assert len(var) == 2 and var[0] >= var[1] >= 0.0
