@@ -311,9 +311,9 @@ def cholesky_blocked_fused(
     from gpvae_tpu.ops import pallas_trail
 
     n, t, _ = k.shape
-    nb = pallas_trail.NB
-    if block_size != nb:
-        raise ValueError(f"fused path is fixed at block_size={nb}")
+    nb = block_size
+    if nb % pallas_chol.LANE_BATCH_MAX_T != 0:
+        raise ValueError(f"fused path needs a multiple-of-64 block, got {nb}")
     if t <= pallas_chol.LANE_BATCH_MAX_T:
         return _chol_diag_block(k.astype(jnp.float32))
     num_blocks = -(-t // nb)
@@ -386,6 +386,8 @@ def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
         lb = pallas_big.cholesky_inplace(kb, nb=128)
     elif method == "blocked_fused":
         lb = cholesky_blocked_fused(kb)
+    elif method == "blocked_fused_64":
+        lb = cholesky_blocked_fused(kb, block_size=64)
     elif method == "whole":
         from gpvae_tpu.ops import pallas_chol_big
         lb = pallas_chol_big.chol_whole_batched(kb)

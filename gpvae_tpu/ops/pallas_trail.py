@@ -50,17 +50,17 @@ def _interpret() -> bool:
     return not dispatch.on_tpu()
 
 
-def _make_kernel(m: int, r: int):
-    nb = NB
+def _make_kernel(m: int, r: int, nb: int):
+    from gpvae_tpu.ops.pallas_big import split_dot
+
     r2 = r - nb
 
     def kernel(s_ref, ldi_ref, colx_ref, out_ref, x_buf):
         j = pl.program_id(1)
         tile = s_ref[...]                                   # [m, nb, r]
-        xj = jax.lax.dot_general(
+        xj = split_dot(
             tile[:, :, :nb], ldi_ref[...],
             (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=_HI,
         )                                                   # [m, nb, nb]
         colx_ref[...] = xj
         row0 = pl.multiple_of(j * nb, nb)
@@ -72,9 +72,8 @@ def _make_kernel(m: int, r: int):
         # they are leftovers from the PREVIOUS slab — and feed only the
         # upper-triangular output columns, which no consumer reads (the next
         # block step touches the panel + diagonal blocks only).
-        upd = jax.lax.dot_general(
+        upd = split_dot(
             xj, x_buf[...], (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=_HI,
         )                                                   # [m, nb, r2]
         out_ref[...] = tile[:, :, nb:] - upd
 
@@ -87,11 +86,11 @@ def _make_kernel(m: int, r: int):
     return kernel
 
 
-def _slab_size(r: int, n: int) -> int:
+def _slab_size(r: int, n: int, nb: int) -> int:
     # in block (m, nb, r) + out (m, nb, r-nb) + colx + x_buf (m, r-nb, nb),
     # with in/out double-buffered by the pipeline
-    per_matrix = 4 * (2 * NB * r + 2 * NB * (r - NB) + NB * NB
-                      + (r - NB) * NB)
+    per_matrix = 4 * (2 * nb * r + 2 * nb * (r - nb) + nb * nb
+                      + (r - nb) * nb)
     m = max(1, _SLAB_BYTES // per_matrix)
     while n % m != 0:
         m -= 1
@@ -118,31 +117,32 @@ def panel_trailing_update(
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _panel_trailing_jit(s, ld_inv, interpret):
     n, r, r_ = s.shape
-    assert r == r_ and r % NB == 0 and r >= 2 * NB, s.shape
-    r2 = r - NB
-    m = _slab_size(r, n)
+    nb = ld_inv.shape[-1]
+    assert r == r_ and r % nb == 0 and r >= 2 * nb, (s.shape, nb)
+    r2 = r - nb
+    m = _slab_size(r, n, nb)
     f32 = jnp.float32
     colx, out = pl.pallas_call(
-        _make_kernel(m, r),
-        grid=(n // m, r2 // NB),
+        _make_kernel(m, r, nb),
+        grid=(n // m, r2 // nb),
         in_specs=[
-            pl.BlockSpec((m, NB, r), lambda i, j: (i, j + 1, 0),
+            pl.BlockSpec((m, nb, r), lambda i, j: (i, j + 1, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, NB, NB), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((m, nb, nb), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((m, NB, NB), lambda i, j: (i, j, 0),
+            pl.BlockSpec((m, nb, nb), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, NB, r2), lambda i, j: (i, j, 0),
+            pl.BlockSpec((m, nb, r2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n, r2, NB), f32),
+            jax.ShapeDtypeStruct((n, r2, nb), f32),
             jax.ShapeDtypeStruct((n, r2, r2), f32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((m, r2, NB), f32),
+            pltpu.VMEM((m, r2, nb), f32),
         ],
         interpret=interpret,
     )(s.astype(f32), ld_inv.astype(f32))

@@ -207,3 +207,43 @@ def test_solve_triangular_inverse_route_large_t():
     np.testing.assert_allclose(
         np.asarray(x_inv), np.asarray(x_sub), rtol=2e-3, atol=2e-3
     )
+
+
+@pytest.mark.parametrize("t,method", [
+    (200, "blocked_inplace"), (384, "blocked_inplace"),
+    (520, "blocked_inplace"),
+    (192, "blocked_fused_64"), (256, "blocked_fused_64"),
+])
+def test_cholesky_round3_paths_vs_oracle(t, method):
+    """Round-3 large-T paths: the in-place left-looking factorization
+    (ops/pallas_big.py) and the 64-wide fused panel path.  Tolerance 5e-5:
+    these paths use compensated 3-pass bf16 contractions (split_dot),
+    ~1.5e-5 relative at these depths — within the ELBO-level 1e-4
+    north-star budget (BASELINE.md), vs 4e-7 for the HIGHEST-precision
+    lane kernels at T <= 64."""
+    from gpvae_tpu.ops.chol import _cholesky_fwd_impl
+
+    rng = np.random.default_rng(5)
+    k = random_psd(rng, 3, t)
+    got = np.asarray(_cholesky_fwd_impl(jnp.asarray(k, jnp.float32), method))
+    want = np.linalg.cholesky(k)
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 5e-5, (method, t, err)
+    assert np.allclose(got, np.tril(got))
+
+
+def test_cholesky_inplace_gradient_matches_xla():
+    from gpvae_tpu.ops.chol import cholesky
+
+    rng = np.random.default_rng(6)
+    k = jnp.asarray(random_psd(rng, 2, 200), jnp.float32)
+    w = jnp.asarray(rng.standard_normal(k.shape[-2:]), jnp.float32)
+
+    def loss(method):
+        return lambda kk: jnp.sum(cholesky(kk, method=method) * w)
+
+    g = jax.grad(loss("blocked_inplace"))(k)
+    g_xla = jax.grad(loss("xla"))(k)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_xla), rtol=2e-3, atol=2e-4
+    )
