@@ -72,14 +72,12 @@ def main():
     roundtrip = (time.perf_counter() - t0) / 5
     print(f"host roundtrip: {roundtrip*1e3:.1f} ms")
 
-    from gpvae_tpu.ops import pallas_chol_big
 
     variants = {
         "blocked_nb128": functools.partial(chol.cholesky_blocked,
                                            block_size=128),
         "blocked_left": chol.cholesky_blocked_left,
         "blocked_fused": chol.cholesky_blocked_fused,
-        "whole_vmem": pallas_chol_big.chol_whole_batched,
         "recursive_cholinv": lambda k: chol.chol_and_inv(k)[0],
         "xla": chol.cholesky_xla,
     }

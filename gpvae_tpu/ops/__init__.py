@@ -19,7 +19,6 @@ from gpvae_tpu.ops.chol import (
     cholesky_blocked_left,
     cholesky_xla,
 )
-from gpvae_tpu.ops.pallas_chol_big import chol_whole_batched
 from gpvae_tpu.ops.pallas_tri import tri_inv, tri_inv_blocked
 from gpvae_tpu.ops.pallas_chol import (
     chol_small_batched,
@@ -36,7 +35,6 @@ __all__ = [
     "cholesky_blocked_fused",
     "cholesky_blocked_left",
     "cholesky_xla",
-    "chol_whole_batched",
     "tri_inv",
     "tri_inv_blocked",
     "chol_small_batched",

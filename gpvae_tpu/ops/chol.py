@@ -18,8 +18,12 @@ Execution paths behind one differentiable entry point:
   history instead of re-materializing the trailing submatrix each step.
 * ``blocked_fused`` — the panel + lower-only trailing downdate streamed
   through one Pallas kernel per step (ops/pallas_trail.py).
-* ``whole``         — each matrix fully VMEM-resident in one Pallas kernel
-  (ops/pallas_chol_big.py); useful only for tiny banks of large matrices.
+* ``blocked_inplace`` — round-3 left-looking path with in-place column
+  writeback and compensated 3-pass bf16 contractions (ops/pallas_big.py).
+  (A whole-matrix-in-VMEM kernel was tried in round 2 and retired in
+  round 3: with <= ~30 matrices co-resident the serial column recurrence
+  is not amortized and it measured 1.04 TF/s, worse than every blocked
+  path — see docs/DESIGN.md.)
 * ``xla``           — ``jnp.linalg.cholesky`` fallback (fp64 oracle on CPU).
 
 ``auto`` picks per measured v5e crossovers (see LEFT_LOOKING_MIN_T below).
@@ -388,9 +392,6 @@ def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
         lb = cholesky_blocked_fused(kb)
     elif method == "blocked_fused_64":
         lb = cholesky_blocked_fused(kb, block_size=64)
-    elif method == "whole":
-        from gpvae_tpu.ops import pallas_chol_big
-        lb = pallas_chol_big.chol_whole_batched(kb)
     else:
         raise ValueError(f"unknown cholesky method {method!r}")
     return lb.reshape(batch_shape + (t, t))

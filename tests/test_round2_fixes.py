@@ -13,7 +13,7 @@ from gpvae_tpu.data import (
     toy_to_masked_batch,
 )
 from gpvae_tpu.models import GPVAE, GPVAEConfig
-from gpvae_tpu.ops import chol, pallas_chol_big
+from gpvae_tpu.ops import chol
 
 
 # ---------------------------------------------------------------------------
@@ -204,19 +204,6 @@ def _random_psd(rng, n, t):
     a = rng.standard_normal((n, t, t))
     k = a @ np.swapaxes(a, -1, -2) / t + np.eye(t) * 1e-2
     return k
-
-
-@pytest.mark.parametrize("n,t", [(2, 72), (2, 128)])
-def test_chol_whole_batched_vs_oracle(n, t):
-    rng = np.random.default_rng(0)
-    k = _random_psd(rng, n, t)
-    got = np.asarray(
-        pallas_chol_big.chol_whole_batched(jnp.asarray(k, jnp.float32))
-    )
-    want = np.linalg.cholesky(k)
-    err = np.abs(got - want).max() / np.abs(want).max()
-    assert err < 5e-5, err
-    assert np.allclose(got, np.tril(got))
 
 
 @pytest.mark.parametrize("t", [128, 200])
