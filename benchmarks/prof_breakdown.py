@@ -37,32 +37,31 @@ def _banks(t, n, copies, seed=1):
     return kd
 
 
-def time_op(fn, banks, reps=4, repeats=2):
-    """Time fn(bank)->consumable, serialized via optimization_barrier.
+def time_op(fn, banks, reps=4, repeats=2, inner=24):
+    """Time fn(bank)->consumable inside a device-side fori_loop.
 
-    ``banks [copies, ...]``: distinct pre-staged inputs (CSE-proof).  Each
-    unrolled iteration chains the accumulator into the next input through an
-    ``optimization_barrier`` so XLA cannot hoist, overlap, or dedupe the
-    factorizations; the barrier aliases (no input copy).  Returns seconds
-    per fn() call.
+    The loop body reads the (loop-invariant) bank through an
+    ``optimization_barrier`` chained with the accumulator, so XLA can
+    neither hoist the op out of the loop (the input symbolically depends
+    on the previous iteration) nor overlap/dedupe iterations — while the
+    body compiles exactly once and ``inner`` iterations amortize the
+    ~25 ms tunnel-latency jitter.  ``repeats`` kept for call compat.
+    Returns seconds per fn() call.
     """
     import jax
     import jax.numpy as jnp
 
-    copies = banks.shape[0]
-    inner = copies * repeats
+    bank = banks[0]
 
     @jax.jit
-    def run(banks):
-        acc = jnp.float32(0.0)
-        for _ in range(repeats):
-            for c in range(copies):
-                k, _ = jax.lax.optimization_barrier((banks[c], acc))
-                acc = acc + fn(k)
-        return acc
+    def run(bank):
+        def body(_, acc):
+            k, _a = jax.lax.optimization_barrier((bank, acc))
+            return acc + fn(k)
+        return jax.lax.fori_loop(0, inner, body, jnp.float32(0.0))
 
-    float(run(banks))  # compile+warm
-    dt = timed_median(lambda: run(banks), reps) / inner
+    float(run(bank))  # compile+warm
+    dt = timed_median(lambda: run(bank), reps) / inner
     return dt
 
 

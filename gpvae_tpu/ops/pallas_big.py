@@ -95,6 +95,22 @@ def _hist_kernel(k_ref, hist_ref, row_ref, out_ref):
     out_ref[...] = k_ref[...] - upd
 
 
+def _hist2_kernel(k_ref, hist_ref, row_ref, diag_ref, sub_ref):
+    j = pl.program_id(1)
+    upd = split_dot(
+        hist_ref[...], row_ref[...], (((2,), (2,)), ((0,), (0,))),
+    )
+    panel = k_ref[...] - upd
+
+    @pl.when(j == 0)
+    def _():
+        diag_ref[...] = panel
+
+    @pl.when(j > 0)
+    def _():
+        sub_ref[...] = panel
+
+
 def _hist_slab(o: int, n: int, nb: int) -> int:
     per_matrix = 4 * (2 * nb * o * 2 + 2 * nb * nb)
     m = max(1, _SLAB_BYTES // max(per_matrix, 1))
@@ -134,6 +150,118 @@ def hist_panel(l, k, block: int, nb: int):
     """``K[:, o:, o:o+nb] - L[:, o:, :o] @ L[:, o:o+nb, :o]^T`` (o=block*nb),
     streamed with the subtraction fused; compensated bf16 dots."""
     return _hist_panel_jit(l, k, block, nb, _interpret())
+
+
+@functools.partial(jax.jit, static_argnames=("block", "nb", "interpret"))
+def _hist_panel2_jit(l, k, block, nb, interpret):
+    n, t, t_ = k.shape
+    assert t == t_ and t % nb == 0 and 1 <= block < t // nb
+    o = block * nb
+    r = t - o
+    m = _hist_slab(o, n, nb)
+    diag_spec = pl.BlockSpec((m, nb, nb), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    sub_spec = pl.BlockSpec(
+        (m, nb, nb), lambda i, j: (i, jnp.maximum(j - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    diag, sub = pl.pallas_call(
+        _hist2_kernel,
+        grid=(n // m, r // nb),
+        in_specs=[
+            pl.BlockSpec((m, nb, nb), lambda i, j, b=block: (i, b + j, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, nb, o), lambda i, j, b=block: (i, b + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, nb, o), lambda i, j, b=block: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(diag_spec, sub_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
+            jax.ShapeDtypeStruct((n, max(r - nb, nb), nb), jnp.float32),
+        ),
+        interpret=interpret,
+    )(k.astype(jnp.float32), l, l)
+    return diag, sub[:, : r - nb] if r - nb > 0 else sub[:, :0]
+
+
+def hist_panel_split(l, k, block: int, nb: int):
+    """Like :func:`hist_panel` but returns ``(diag [N, nb, nb],
+    sub [N, R-nb, nb])`` as two outputs, so the diagonal-block
+    factorization and the writeback consume them without the strided
+    slice copies a single ``[N, R, nb]`` panel would force."""
+    if _interpret():
+        panel = hist_panel(l, k, block, nb)
+        return panel[:, :nb], panel[:, nb:]
+    return _hist_panel2_jit(l, k, block, nb, False)
+
+
+# ---------------------------------------------------------------------------
+# L initialization kernel: zeros + column block 0 in one write pass
+# ---------------------------------------------------------------------------
+
+def _init_kernel(k_ref, ld_ref, ldi_ref, out_ref):
+    c = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when((c == 0) & (j == 0))
+    def _():
+        out_ref[...] = ld_ref[...]
+
+    @pl.when((c == 0) & (j > 0))
+    def _():
+        out_ref[...] = split_dot(
+            k_ref[...], ldi_ref[...], (((2,), (2,)), ((0,), (0,))),
+        )
+
+    @pl.when(c > 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "interpret"))
+def _init_l_jit(k, ld, ld_inv, nb, interpret):
+    n, t, _ = k.shape
+    m = _wb_slab(n, nb)
+    nblk = t // nb
+    out = pl.pallas_call(
+        _init_kernel,
+        # c (column block) middle, j (row tile) minor: the k fetch index
+        # is pinned to (i, 0, 0) whenever c > 0 so the zero sweep re-reads
+        # nothing
+        grid=(n // m, nblk, nblk),
+        in_specs=[
+            pl.BlockSpec(
+                (m, nb, nb),
+                lambda i, c, j: (i, jnp.where(c == 0, j, 0), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((m, nb, nb), lambda i, c, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, nb, nb), lambda i, c, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, nb, nb), lambda i, c, j: (i, j, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, t, t), jnp.float32),
+        interpret=interpret,
+    )(k.astype(jnp.float32), ld, ld_inv)
+    return out
+
+
+def init_l(k, ld, ld_inv, nb: int):
+    """Materialize the newborn L: zeros everywhere except column block 0 =
+    ``[Ld; K[:, nb:, :nb] @ Ld^{-T}]`` — one write pass over the [N, T, T]
+    buffer (the round-2 paths paid a zeros-init AND a pad/concat copy)."""
+    if _interpret():
+        x0 = split_dot(
+            k[:, nb:, :nb].astype(jnp.float32), ld_inv,
+            (((2,), (2,)), ((0,), (0,))), fast=False,
+        )
+        col0 = jnp.concatenate([ld, x0], axis=1)
+        return jnp.pad(col0, ((0, 0), (0, 0), (0, k.shape[1] - nb)))
+    return _init_l_jit(k, ld, ld_inv, nb, False)
 
 
 # ---------------------------------------------------------------------------
@@ -233,26 +361,23 @@ def cholesky_inplace(k: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
         k = k + jnp.eye(t_pad, dtype=k.dtype) * diag_pad[None, None, :]
     k = k.astype(jnp.float32)
 
-    # step 0: factor the leading block, solve its sub-panel, and give birth
-    # to L as pad(col0) — the one full-size write also settles every
-    # upper-triangular zero, so no zeros-init pass and no later upper writes
+    # step 0: factor the leading block, then give birth to L in ONE write
+    # pass (zeros + column block 0 fused in init_l) — the round-2 paths
+    # paid a 537 MB zeros-init AND a pad/concat copy at T=1024
     ld, ld_inv = chol_lib.chol_and_inv(k[:, :nb, :nb])
     if num_blocks == 1:
         return ld[:, :t, :t]
-    x0 = split_dot(
-        k[:, nb:, :nb], ld_inv, (((2,), (2,)), ((0,), (0,))),
-    )
-    col0 = jnp.concatenate([ld, x0], axis=1)              # [N, T_pad, nb]
-    l = jnp.pad(col0, ((0, 0), (0, 0), (0, t_pad - nb)))
+    l = init_l(k, ld, ld_inv, nb)
     for b in range(1, num_blocks):
-        panel = hist_panel(l, k, b, nb)                   # [N, R, nb]
-        ld, ld_inv = chol_lib.chol_and_inv(panel[:, :nb])
         if b == num_blocks - 1:
-            # single diag block left: write Ld only — the writeback kernel
-            # needs >= 1 panel tile, so special-case with a small DUS
+            # single diag block left: no sub-panel, no writeback kernel
+            diag = hist_panel(l, k, b, nb)
+            ld, _ = chol_lib.chol_and_inv(diag[:, :nb])
             l = _writeback_diag_only(l, ld, b, nb)
         else:
-            l = col_writeback(l, ld, ld_inv, panel[:, nb:], b, nb)
+            diag, sub = hist_panel_split(l, k, b, nb)
+            ld, ld_inv = chol_lib.chol_and_inv(diag)
+            l = col_writeback(l, ld, ld_inv, sub, b, nb)
     return l[:, :t, :t]
 
 
