@@ -305,10 +305,11 @@ def time_cholesky(t: int, n: int, reps: int = 10, inner: int | None = None,
             for c in range(copies):
                 k, _ = jax.lax.optimization_barrier((kd[c], acc))
                 l, ld = chol_logdet(k)
+                # the logdet is the production fused consume (it reads the
+                # factor diagonal through the Pallas tile kernel); barrier
+                # + an O(T) read force the full factor to materialize
                 l = jax.lax.optimization_barrier(l)
-                acc = acc + ld.sum() + jnp.sum(
-                    jnp.log(jnp.diagonal(l, axis1=-2, axis2=-1))
-                )
+                acc = acc + ld.sum() + jnp.sum(l[..., 0, :1])
         return acc
 
     t0 = time.perf_counter()

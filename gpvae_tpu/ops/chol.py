@@ -91,6 +91,12 @@ def chol_and_inv(
     n, nb, _ = d.shape
     if base is None:
         base = pallas_chol.LANE_BATCH_MAX_T
+    # Force the operand to materialize packed: XLA otherwise fuses a
+    # strided sub-block slice (e.g. k[:, :nb, :nb] of a [N, T, T] bank)
+    # into the lane-layout transpose, which measured 1.82 ms vs 0.12 ms
+    # for the materialized copy at [128, 128, 128] from T=1024 (15x).
+    # On an already-packed buffer this is a no-op scheduling barrier.
+    d = jax.lax.optimization_barrier(d)
     if nb <= base or nb <= 8:
         if dispatch.on_tpu():
             return pallas_chol.chol_inv_small_batched(d)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from gpvae_tpu.ops import dispatch
 from gpvae_tpu.ops.chol import cholesky
 
 
@@ -21,8 +22,20 @@ def logdet_from_chol(l: jnp.ndarray) -> jnp.ndarray:
     """``logdet(K)`` for ``K = L L^T``; L ``[..., T, T]`` -> ``[...]``.
 
     Masked/identity-padded rows have ``L_ii = 1`` and contribute exactly 0.
+    Large factors route the diagonal read through a Pallas tile kernel:
+    ``jnp.diagonal`` is an element-strided gather that measured ~1.9 ms on
+    a [128, 1024, 1024] bank — a third of the whole factorization.
     """
-    diag = jnp.diagonal(l, axis1=-2, axis2=-1)
+    t = l.shape[-1]
+    if dispatch.on_tpu() and t >= 256 and t % 128 == 0 and l.ndim >= 3:
+        from gpvae_tpu.ops import pallas_big
+
+        batch_shape = l.shape[:-2]
+        diag = pallas_big.diag_extract(
+            l.reshape((-1, t, t))
+        ).reshape(batch_shape + (t,))
+    else:
+        diag = jnp.diagonal(l, axis1=-2, axis2=-1)
     return 2.0 * jnp.sum(jnp.log(diag), axis=-1)
 
 
