@@ -321,6 +321,48 @@ def time_cholesky(t: int, n: int, reps: int = 10, inner: int | None = None,
     return n * (t ** 3) / 3.0 / dt / 1e12
 
 
+def time_cholesky_fused(t: int, n: int, reps: int = 6, inner: int | None = None,
+                        verbose: bool = False) -> float:
+    """Fused gram+Cholesky+logdet TFLOP/s: the production covariance op
+    (``gp.chol_gram_bank`` route) — gram tiles are built in-kernel from the
+    O(N*T) time vectors, so the [N, T, T] gram never exists in HBM.
+    TFLOP/s counts only the factorization's N*T^3/3 useful flops (the gram
+    construction work rides along uncounted — conservative)."""
+    import jax
+    import jax.numpy as jnp
+    from gpvae_tpu.ops import pallas_big
+    from gpvae_tpu.ops.logdet import logdet_from_chol
+
+    if inner is None:
+        inner = 48 if t <= 512 else 16
+    rng = np.random.default_rng(1)
+    times = jnp.asarray(
+        np.sort(rng.uniform(0, t, (n, t)), -1).astype(np.float32)
+    )
+    ls = jnp.full((n,), 5.0, jnp.float32)
+    var = jnp.ones((n,), jnp.float32)
+    float(jnp.sum(times))
+
+    @jax.jit
+    def run(times):
+        def body(_, acc):
+            tt, _a = jax.lax.optimization_barrier((times, acc))
+            l = pallas_big.cholesky_gram_inplace(tt, ls, None, var,
+                                                 noise=1e-2)
+            ld = logdet_from_chol(l)
+            l = jax.lax.optimization_barrier(l)
+            return acc + ld.sum() + jnp.sum(l[..., 0, :1])
+        return jax.lax.fori_loop(0, inner, body, jnp.float32(0.0))
+
+    t0 = time.perf_counter()
+    float(run(times))
+    if verbose:
+        print(f"[bench] fused gram+chol T={t} compile+warm "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+    dt = timed_median(lambda: run(times), reps) / inner
+    return n * (t ** 3) / 3.0 / dt / 1e12
+
+
 def time_train_t1024(n_stack: int = 4, n_rounds: int = 3,
                      verbose: bool = False) -> float:
     """BASELINE config 3 training throughput: T=1024 uniform shared grid,
@@ -503,6 +545,9 @@ def main(verbose: bool = False):
     sps_t1024 = _guarded(time_train_t1024, verbose=verbose)
     tflops_256 = _guarded(time_cholesky, 256, 512, reps=6, verbose=verbose)
     tflops_1024 = _guarded(time_cholesky, 1024, 128, reps=4, verbose=verbose)
+    tflops_f256 = _guarded(time_cholesky_fused, 256, 512, verbose=verbose)
+    tflops_f1024 = _guarded(time_cholesky_fused, 1024, 128, reps=4,
+                            verbose=verbose)
     toep = _guarded(time_toeplitz_kl, verbose=verbose) or {}
     dp_step = _guarded(time_dp_step_virtual_mesh)
     # re-run the headline last and report best-of: the first run eats any
@@ -533,6 +578,8 @@ def main(verbose: bool = False):
             "t1024_toeplitz_steps_per_sec": r(sps_t1024),
             "chol_logdet_tflops_T256_N512": r(tflops_256, 4),
             "chol_logdet_tflops_T1024_N128": r(tflops_1024, 4),
+            "fused_gram_chol_logdet_tflops_T256_N512": r(tflops_f256, 4),
+            "fused_gram_chol_logdet_tflops_T1024_N128": r(tflops_f1024, 4),
             "toeplitz_prior_kl_T1024_ms": r(toep.get("toeplitz_ms")),
             "dense_prior_kl_T1024_ms": r(toep.get("dense_ms")),
             "dp_scale_virtual8_step_seconds": r(dp_step, 3),

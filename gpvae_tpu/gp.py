@@ -70,13 +70,46 @@ def _chol_gram_bank_unfused(times, lengthscales, mask, variance, kernel,
     return cholesky(k)
 
 
+def _gram_chol_blocked(times, lengthscales, mask, variance, kernel, noise):
+    """Large-T fused path: flatten [B, T] x [Z] -> N = B*Z matrices and run
+    the blocked in-place factorization with gram tiles built in-kernel
+    (ops/pallas_big.cholesky_gram_inplace) — the [B, Z, T, T] gram never
+    exists in HBM (at T=1024 N=128: 537 MB write + 537 MB read deleted;
+    measured 6.39 -> 4.39 ms, 10.4 TF/s)."""
+    from gpvae_tpu.ops import pallas_big
+
+    b, t = times.shape
+    z = lengthscales.shape[-1]
+    n = b * z
+    f32 = jnp.float32
+    tt = jnp.broadcast_to(times[:, None, :], (b, z, t)).reshape(n, t)
+    if lengthscales.ndim == 1:
+        ls = jnp.broadcast_to(lengthscales[None, :], (b, z)).reshape(n)
+    else:
+        ls = lengthscales.reshape(n)
+    mk = (None if mask is None else
+          jnp.broadcast_to(mask[:, None, :], (b, z, t)).reshape(n, t))
+    var = jnp.asarray(variance, f32)
+    if var.ndim == 0:
+        var = jnp.full((n,), var, f32)
+    else:
+        var = jnp.broadcast_to(var[None, :], (b, z)).reshape(n)
+    l = pallas_big.cholesky_gram_inplace(
+        tt, ls, mk, var, kernel=kernel, noise=noise,
+    )
+    return l.reshape(b, z, t, t)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _chol_gram_bank_p(times, lengthscales, mask, variance, kernel, noise,
                       diff_times):
-    return gram_chol_fused(
-        times, lengthscales, mask=mask, kernel=kernel, noise=noise,
-        variance=variance,
-    )
+    if times.shape[-1] <= LANE_BATCH_MAX_T:
+        return gram_chol_fused(
+            times, lengthscales, mask=mask, kernel=kernel, noise=noise,
+            variance=variance,
+        )
+    return _gram_chol_blocked(times, lengthscales, mask, variance, kernel,
+                              noise)
 
 
 def _chol_gram_bank_fwd(times, lengthscales, mask, variance, kernel, noise,
@@ -140,12 +173,10 @@ def chol_gram_bank(
     throughput and times are data in every shipped model.
     """
     variance = jnp.asarray(variance, jnp.float32)
-    t = times.shape[-1]
-    if (
-        dispatch.on_tpu()
-        and t <= LANE_BATCH_MAX_T
-        and kernel in kernels_lib.KERNELS
-    ):
+    if dispatch.on_tpu() and kernel in kernels_lib.KERNELS:
+        # T <= 64: lane-fused single kernel; larger T: blocked in-place
+        # factorization with gram tiles built in-kernel — either way the
+        # gram bank never exists in HBM
         return _chol_gram_bank_p(times, lengthscales, mask, variance, kernel,
                                  noise, diff_times)
     return _chol_gram_bank_unfused(times, lengthscales, mask, variance,

@@ -351,15 +351,14 @@ def cholesky_blocked_fused(
     return l[:, :t, :t]
 
 
-# measured crossovers on v5e (device-looped timing — single-dispatch wall
-# measurements through the remote tunnel were unreliable, docs/DESIGN.md;
-# useful TFLOP/s = N*T^3/3/time):
-#   T=256  N=512: fused 2.66 | right 2.43 | left 1.59
-#   T=512  N=256: right 4.86 | fused 4.53 | left 3.53
-#   T=1024 N=128: left-streamed 5.97 | left 4.89 | fused 4.90 | right 3.26
-#   T=2048 N=32:  left-streamed 4.55 | left 4.30 | fused 2.27
+# measured crossovers on v5e (saturated device-looped fori_loop timing
+# with an O(T) consume — the round-2 numbers in docs/DESIGN.md were taken
+# with a short inner loop and a full-diagonal gather consume and are not
+# comparable; round-3 methodology, 2026-08-17):
+#   T=256  N=512: fused 1.41 | right 1.42 | left-streamed 1.44 (all ~par)
+#   T=1024 N=128: inplace 8.4 | left-streamed 7.3 | fused 3.5 | right 2.7
 FUSED_MAX_T = 511          # below: streaming fused kernel
-LEFT_LOOKING_MIN_T = 768   # above: streamed left-looking; between: right
+LEFT_LOOKING_MIN_T = 768   # above: in-place left-looking; between: right
 
 
 def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
@@ -374,7 +373,7 @@ def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
             elif t < LEFT_LOOKING_MIN_T:
                 method = "blocked"
             else:
-                method = "blocked_left_streamed"
+                method = "blocked_inplace"
         else:
             method = "xla"
     if method == "xla":

@@ -1,32 +1,32 @@
 """In-place left-looking blocked Cholesky — the large-T production path.
 
-Round-3 redesign of the streamed left-looking factorization
-(ops/chol.py::cholesky_blocked_left_streamed + ops/pallas_left.py), built
-from the round-2 driver measurements: at T=1024 the old path was
-HBM-dominated — a 537 MB zeros-init of L, a full x-panel temp + DUS round
-trip per step, and `precision=HIGHEST` (6-pass bf16) on contractions that
-measured 30 TF/s against the chip's 116 TF/s bf16 pipe.  Three changes:
+Round-3 design, driven by saturated device-looped measurements (see
+docs/DESIGN.md "round 3"):
 
-* **nb=256 panels** — the left-looking history re-reads scale as
-  ``sum_b (T-o)*o`` which halves going 128 -> 256 (704 -> 336 MB at
-  T=1024 N=128);
-* **compensated 3-pass bf16 dots** (``split dot``): each f32 operand is
-  split ``x = hi + lo`` (bf16 hi, bf16 residual) and the product assembled
-  as ``hi@hi + hi@lo + lo@hi`` with f32 accumulation — the same
-  compensation family as XLA's HIGHEST (which uses 6 passes for ~1e-7;
-  3 passes give ~1e-5 at depth 1024 for 2x the throughput, measured
-  60 vs 30 TF/s).  The factor-level fp64 parity budget is documented and
-  tested at 3e-5 for the large-T paths (tests/test_ops.py); the ELBO-level
-  north-star tolerance is 1e-4 (BASELINE.md).
 * **in-place column writeback** — the column block ``[Ld; X]`` is written
   straight into the L buffer through ``input_output_aliases`` (no x temp,
-  no dynamic_update_slice copy), and L is born from ``pad(col0)`` so the
-  upper-triangular zeros are settled in the same single pass that stores
-  the first column block.
+  no dynamic_update_slice copy), and L is born from a single fused
+  zeros+column-0 write pass (``init_l``);
+* **fused gram construction** (``cholesky_gram_inplace``) — every K tile
+  is built in-kernel from the O(N*T) time vectors with exact
+  ``kernels.gram`` semantics, so the [N, T, T] gram never exists in HBM:
+  at T=1024 N=128 this deletes a 537 MB gram write and a 537 MB K read
+  (measured 6.39 -> 4.39 ms, 10.4 TF/s for the production op);
+* **slice materialization + Pallas diagonal extraction** — see
+  ``ops/chol.py::chol_and_inv`` and ``diag_extract`` below for the two
+  systemic HBM pathologies this path dodges.
 
-The diagonal-block factor+inverse stays on the lane-batched kernels via
-``ops.chol.chol_and_inv`` (HIGHEST; its serial recurrence is the
-accuracy-critical part and its cost is launch-bound, not FLOP-bound).
+The diagonal blocks stay on the lane-layout ``ops.chol.chol_and_inv``
+(XLA recursion over the 64-wide lane kernels).  Round-3 measured dead
+ends, so nobody re-walks them: (a) an in-kernel batch-leading 64-wide
+recurrence (row-form, scratch-ref state) ran 7.5x SLOWER than the XLA
+recursion — at the m <= 8 matrices/slab that VMEM permits, every
+per-column op is relayout-bound on the VPU, while the lane layout
+amortizes one serial chain over 128 co-resident matrices; (b) m = 16
+slabs crash the Mosaic compiler on the 128-deep unrolled chain; (c)
+``split_dot`` 3-pass bf16 contractions buy only ~4% end-to-end (the
+history contraction is HBM-bound) while costing 200x factor accuracy on
+strongly-correlated grams, so ``FAST_DOTS`` defaults to False.
 
 Replaces the reference's ``tf.cholesky`` at the T=1024 scale the reference
 could not reach (src/old/GP_VAE_syn_data.py:226 — an abandoned
@@ -46,9 +46,13 @@ from gpvae_tpu.ops import dispatch
 _SLAB_BYTES = 6 * 1024 * 1024
 
 # Module switch for the compensated 3-pass bf16 contractions in the
-# large-T blocked paths.  False -> precision=HIGHEST everywhere (the
-# round-2 behavior); flipped only by tests and A/B harnesses.
-FAST_DOTS = True
+# large-T blocked paths.  False -> precision=HIGHEST everywhere.
+# Measured on the round-3 chip: the fast dots buy only 4% end-to-end at
+# T=1024 (5.23 vs 5.44 ms — the history contraction is HBM-, not
+# MXU-bound) while costing 200x factor accuracy on strongly-correlated
+# grams (1.8e-3 vs 9e-6 relative at lengthscale T/10).  HIGHEST is the
+# default; True is for A/B harnesses only.
+FAST_DOTS = False
 
 
 def _interpret() -> bool:
@@ -82,152 +86,6 @@ def split_dot(a, b, dims, *, fast: bool | None = None):
         )
 
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
-
-
-# ---------------------------------------------------------------------------
-# In-kernel diagonal-block factorization
-# ---------------------------------------------------------------------------
-
-_DIAG_EPS = 1e-20
-_HI = jax.lax.Precision.HIGHEST
-
-
-def _hi_dot(a, b, dims):
-    return jax.lax.dot_general(
-        a, b, dims, preferred_element_type=jnp.float32, precision=_HI,
-    )
-
-
-def _chol64_rows(a, want_inv, scr=None):
-    """Batch-leading 64-wide Cholesky of symmetric PSD ``a [m, 64, 64]``.
-
-    Returns ``(l, x)`` with ``l`` lower-triangular and ``x = L^{-1}`` (or
-    None when ``want_inv`` is false).  Row-form recurrence for Mosaic
-    friendliness: the trailing matrix stays symmetric under the rank-1
-    downdate, so column j equals row j — every per-step read is a cheap
-    static sublane (row) slice and the pivot element comes from a lane
-    mask-reduce.  The downdate is an exact-fp32 VPU broadcast product (a
-    ``dot_general`` here would round through bf16 at the MXU's DEFAULT
-    precision — measured 3.5e-5 factor error on well-conditioned blocks,
-    2.8e-2 on a T=256 gram bank).
-
-    ``scr``: optional ``(d_scr, u_scr, x_scr)`` VMEM scratch refs, each
-    ``[m, 64, 64]`` — REQUIRED inside real TPU kernels so per-column state
-    lives in refs (64-deep value-carried chains overflow the Mosaic VMEM
-    stack: measured 4.8 MB/matrix of scoped vmem).  Without ``scr`` the
-    state is value-carried (CPU/interpret/unit-test path, same math).
-    """
-    m = a.shape[0]
-    f32 = jnp.float32
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 64, 1), 1)
-    lanes3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 64), 2)
-    lane_r = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1)
-    if scr is not None:
-        d_scr, u_scr, x_scr = scr
-        d_scr[...] = a
-        u_scr[...] = jnp.zeros((m, 64, 64), f32)
-        if want_inv:
-            x_scr[...] = jnp.zeros((m, 64, 64), f32)
-    else:
-        a_v = a
-        u_v = jnp.zeros((m, 64, 64), f32)
-        x_v = jnp.zeros((m, 64, 64), f32) if want_inv else None
-    for j in range(64):
-        arow = d_scr[:, j, :] if scr is not None else a_v[:, j, :]  # [m,64]
-        ajj = jnp.sum(jnp.where(lane_r == j, arow, 0.0), axis=1)  # [m]
-        d = jax.lax.rsqrt(jnp.maximum(ajj, _DIAG_EPS))          # [m]
-        urow = jnp.where(lane_r >= j, arow * d[:, None], 0.0)
-        upd = urow[:, :, None] * urow[:, None, :]               # VPU, exact
-        if scr is not None:
-            u_scr[:, j, :] = urow
-            d_scr[...] = d_scr[...] - upd
-        else:
-            u_v = jnp.where(rows == j, urow[:, None, :], u_v)
-            a_v = a_v - upd
-        if want_inv:
-            # forward substitution row j of X = L^{-1}: L[j, k] = u[k, j]
-            # (mask-reduce the lane-j column; X rows >= j are still zero,
-            # so the unmasked contraction is exact)
-            u = u_scr[...] if scr is not None else u_v
-            x = x_scr[...] if scr is not None else x_v
-            ucol = jnp.sum(jnp.where(lanes3 == j, u, 0.0), axis=2)  # [m,64]
-            acc = jnp.sum(ucol[:, :, None] * x, axis=1)         # [m, 64]
-            xrow = (jnp.where(lane_r == j, 1.0, 0.0) - acc) * d[:, None]
-            if scr is not None:
-                x_scr[:, j, :] = xrow
-            else:
-                x_v = jnp.where(rows == j, xrow[:, None, :], x_v)
-    u = u_scr[...] if scr is not None else u_v
-    l = jnp.transpose(u, (0, 2, 1))
-    if not want_inv:
-        return l, None
-    return l, (x_scr[...] if scr is not None else x_v)
-
-
-def _chol_inv_wide(a, nb, want_inv, scr=None):
-    """``(L, L^{-1} or None)`` of symmetric PSD ``a [m, nb, nb]`` (nb a
-    multiple of 64), batch-leading — for use INSIDE Pallas kernels.
-
-    Right-looking over 64-wide sub-blocks: each diagonal sub-block runs
-    the serial row-form recurrence (VPU), panels and trailing downdates
-    are batched MXU dots at K=64, and the inverse assembles by block
-    forward substitution.  This replaces the XLA-level
-    ``ops.chol.chol_and_inv`` recursion whose ~10 small ops round-tripped
-    every intermediate through HBM (measured 546 us at [512,128,128] —
-    over half the whole T=256 bank factorization).
-    """
-    s_blocks = nb // 64
-    assert nb % 64 == 0, nb
-    if s_blocks == 1:
-        return _chol64_rows(a, want_inv, scr)
-    m = a.shape[0]
-    f32 = jnp.float32
-    lcols = []
-    xdiag = []
-    for s in range(s_blocks):
-        o = 64 * s
-        # the diagonal inverses are needed for the sub-panel solves even
-        # when the caller only wants L (they stay internal then)
-        need_x = want_inv or s < s_blocks - 1
-        l64, x64 = _chol64_rows(a[:, o:o + 64, o:o + 64], need_x, scr)
-        if s < s_blocks - 1:
-            below = a[:, o + 64:, o:o + 64]                  # [m, R, 64]
-            p = _hi_dot(below, x64, (((2,), (2,)), ((0,), (0,))))
-            colb = jnp.concatenate([l64, p], axis=1)
-            pfull = jnp.concatenate(
-                [jnp.zeros((m, o + 64, 64), f32), p], axis=1
-            )
-            a = a - _hi_dot(pfull, pfull, (((2,), (2,)), ((0,), (0,))))
-        else:
-            colb = l64
-        if o:
-            colb = jnp.concatenate(
-                [jnp.zeros((m, o, 64), f32), colb], axis=1
-            )
-        lcols.append(colb)
-        xdiag.append(x64)
-    l = jnp.concatenate(lcols, axis=2)                       # [m, nb, nb]
-    if not want_inv:
-        return l, None
-    zero = jnp.zeros((m, 64, 64), f32)
-    xblocks = [[zero] * s_blocks for _ in range(s_blocks)]
-    for i in range(s_blocks):
-        xblocks[i][i] = xdiag[i]
-        for jc in range(i):
-            acc = None
-            for k in range(jc, i):
-                lik = l[:, 64 * i:64 * i + 64, 64 * k:64 * k + 64]
-                term = _hi_dot(
-                    lik, xblocks[k][jc], (((2,), (1,)), ((0,), (0,)))
-                )
-                acc = term if acc is None else acc + term
-            xblocks[i][jc] = -_hi_dot(
-                xdiag[i], acc, (((2,), (1,)), ((0,), (0,)))
-            )
-    xrows = [
-        jnp.concatenate(xblocks[i], axis=2) for i in range(s_blocks)
-    ]
-    return l, jnp.concatenate(xrows, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -407,161 +265,6 @@ diag_extract.defvjp(_diag_extract_fwd, _diag_extract_bwd)
 
 
 # ---------------------------------------------------------------------------
-# Standalone one-launch batched wide Cholesky + inverse
-# ---------------------------------------------------------------------------
-
-def _make_chol_inv_kernel(nb: int, want_inv: bool):
-    def kernel(d_ref, ld_ref, ldi_ref, d_scr, u_scr, x_scr):
-        l, x = _chol_inv_wide(
-            d_ref[...], nb, want_inv, (d_scr, u_scr, x_scr)
-        )
-        ld_ref[...] = l
-        ldi_ref[...] = x if want_inv else jnp.zeros_like(l)
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("want_inv", "interpret"))
-def _chol_inv_batched_jit(d, want_inv, interpret):
-    n, nb, nb_ = d.shape
-    assert nb == nb_ and nb % 64 == 0
-    # in + 2 out + 3 recurrence scratch + ~6 live block values; m is also
-    # hard-capped at 8 — the 128-deep unrolled recurrence at [16, 64, 64]
-    # crashes the Mosaic compiler (subprocess exit 1), [8, 64, 64] is fine
-    per_matrix = 4 * (3 * nb * nb + 3 * 64 * 64 + 6 * 64 * nb)
-    m = max(1, min(n, 8, (_SLAB_BYTES * 2) // per_matrix))
-    while n % m != 0:
-        m -= 1
-    spec = pl.BlockSpec((m, nb, nb), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    ld, ldi = pl.pallas_call(
-        _make_chol_inv_kernel(nb, want_inv),
-        grid=(n // m,),
-        in_specs=[spec],
-        out_specs=(spec, spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
-            jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((m, 64, 64), jnp.float32),
-            pltpu.VMEM((m, 64, 64), jnp.float32),
-            pltpu.VMEM((m, 64, 64), jnp.float32),
-        ],
-        interpret=interpret,
-    )(d.astype(jnp.float32))
-    return ld, ldi
-
-
-def chol_inv_batched(d, want_inv: bool = True):
-    """One-pallas-call ``(L, L^{-1})`` of batched PSD ``d [N, nb, nb]``
-    (nb a multiple of 64; use ``ops.chol.chol_and_inv`` for the general
-    entry).  Replaces the XLA-level recursion whose ~10 small ops
-    round-tripped every intermediate through HBM: measured 546 us ->
-    in-kernel at [512, 128, 128].  ``want_inv=False`` skips the inverse
-    recurrences (the factor-only last block step)."""
-    if _interpret():
-        from gpvae_tpu.ops import chol as chol_lib
-
-        ld, ldi = chol_lib.chol_and_inv(d)
-        if not want_inv:
-            ldi = jnp.zeros_like(ld)
-        return ld, ldi
-    return _chol_inv_batched_jit(d, want_inv, False)
-
-
-# ---------------------------------------------------------------------------
-# Fused history + diagonal-factorization step kernel
-# ---------------------------------------------------------------------------
-
-def _make_hist_chol_kernel(nb: int, want_inv: bool):
-    def kernel(k_ref, hist_ref, row_ref, ld_ref, ldi_ref, sub_ref,
-               d_scr, u_scr, x_scr):
-        j = pl.program_id(1)
-        panel = k_ref[...] - split_dot(
-            hist_ref[...], row_ref[...], (((2,), (2,)), ((0,), (0,))),
-        )
-
-        @pl.when(j == 0)
-        def _():
-            l, x = _chol_inv_wide(
-                panel, nb, want_inv, (d_scr, u_scr, x_scr)
-            )
-            ld_ref[...] = l
-            ldi_ref[...] = x if want_inv else jnp.zeros_like(l)
-
-        @pl.when(j > 0)
-        def _():
-            sub_ref[...] = panel
-
-    return kernel
-
-
-@functools.partial(
-    jax.jit, static_argnames=("block", "nb", "want_inv", "interpret")
-)
-def _hist_chol_jit(l, k, block, nb, want_inv, interpret):
-    n, t, t_ = k.shape
-    assert t == t_ and t % nb == 0 and 1 <= block < t // nb
-    o = block * nb
-    r = t - o
-    # slab budget: hist/k/row tiles as in _hist_slab, plus ld/ldi outputs
-    # and the recurrence temporaries (~6 more nb x nb values live at j=0)
-    per_matrix = 4 * (2 * nb * o * 2 + 2 * nb * nb) + 4 * nb * nb * 8
-    m = max(1, _SLAB_BYTES // max(per_matrix, 1))
-    while n % m != 0:
-        m -= 1
-    pinned = pl.BlockSpec((m, nb, nb), lambda i, j: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
-    sub_spec = pl.BlockSpec(
-        (m, nb, nb), lambda i, j: (i, jnp.maximum(j - 1, 0), 0),
-        memory_space=pltpu.VMEM,
-    )
-    ld, ldi, sub = pl.pallas_call(
-        _make_hist_chol_kernel(nb, want_inv),
-        grid=(n // m, r // nb),
-        in_specs=[
-            pl.BlockSpec((m, nb, nb), lambda i, j, b=block: (i, b + j, b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, nb, o), lambda i, j, b=block: (i, b + j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, nb, o), lambda i, j, b=block: (i, b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(pinned, pinned, sub_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
-            jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
-            jax.ShapeDtypeStruct((n, max(r - nb, nb), nb), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((m, 64, 64), jnp.float32),
-            pltpu.VMEM((m, 64, 64), jnp.float32),
-            pltpu.VMEM((m, 64, 64), jnp.float32),
-        ],
-        interpret=interpret,
-    )(k.astype(jnp.float32), l, l)
-    return ld, ldi, sub[:, : r - nb] if r - nb > 0 else sub[:, :0]
-
-
-def hist_chol(l, k, block: int, nb: int, want_inv: bool = True):
-    """One fused left-looking block step: the history-contracted panel's
-    diagonal block is factored (and inverted) IN the kernel — ``(ld, ldi,
-    sub)`` come out of a single pallas_call, eliminating the ~10-op XLA
-    ``chol_and_inv`` glue whose HBM round trips dominated the per-step
-    cost (243 us x 7 steps at T=1024 N=128)."""
-    if _interpret():
-        from gpvae_tpu.ops import chol as chol_lib
-
-        diag, sub = hist_panel_split(l, k, block, nb)
-        ld, ldi = chol_lib.chol_and_inv(diag)
-        if not want_inv:
-            ldi = jnp.zeros_like(ld)
-        return ld, ldi, sub
-    return _hist_chol_jit(l, k, block, nb, want_inv, False)
-
-
-# ---------------------------------------------------------------------------
 # L initialization kernel: zeros + column block 0 in one write pass
 # ---------------------------------------------------------------------------
 
@@ -582,81 +285,6 @@ def _init_kernel(k_ref, ld_ref, ldi_ref, out_ref):
     @pl.when(c > 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
-
-
-def _make_init_chol_kernel(nb: int):
-    def kernel(k_ref, out_ref, ld_ref, ldi_ref, d_scr, u_scr, x_scr):
-        c = pl.program_id(1)
-        j = pl.program_id(2)
-
-        @pl.when((c == 0) & (j == 0))
-        def _():
-            l, x = _chol_inv_wide(
-                k_ref[...], nb, True, (d_scr, u_scr, x_scr)
-            )
-            ld_ref[...] = l
-            ldi_ref[...] = x
-            out_ref[...] = l
-
-        @pl.when((c == 0) & (j > 0))
-        def _():
-            out_ref[...] = split_dot(
-                k_ref[...], ldi_ref[...], (((2,), (2,)), ((0,), (0,))),
-            )
-
-        @pl.when(c > 0)
-        def _():
-            out_ref[...] = jnp.zeros_like(out_ref)
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("nb", "interpret"))
-def _init_l_chol_jit(k, nb, interpret):
-    n, t, _ = k.shape
-    m = _wb_slab(n, nb)
-    nblk = t // nb
-    out = pl.pallas_call(
-        _make_init_chol_kernel(nb),
-        # c (column block) middle, j (row tile) minor: slab i's first tile
-        # is (c=0, j=0), where the leading diagonal block is factored and
-        # inverted in-kernel into persistent scratch; the k fetch index is
-        # pinned to (i, 0, 0) whenever c > 0 so the zero sweep re-reads
-        # nothing
-        grid=(n // m, nblk, nblk),
-        in_specs=[
-            pl.BlockSpec(
-                (m, nb, nb),
-                lambda i, c, j: (i, jnp.where(c == 0, j, 0), 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec((m, nb, nb), lambda i, c, j: (i, j, c),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, t, t), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((m, nb, nb), jnp.float32),
-            pltpu.VMEM((m, nb, nb), jnp.float32),
-            pltpu.VMEM((m, 64, 64), jnp.float32),
-            pltpu.VMEM((m, 64, 64), jnp.float32),
-            pltpu.VMEM((m, 64, 64), jnp.float32),
-        ],
-        interpret=interpret,
-    )(k.astype(jnp.float32))
-    return out
-
-
-def init_l_chol(k, nb: int):
-    """:func:`init_l` with the leading-block factorization fused in: one
-    kernel reads K, factors+inverts ``K[:, :nb, :nb]`` in scratch, and
-    writes the full newborn L (zeros + column block 0) in a single pass —
-    no XLA ``chol_and_inv`` launch at step 0."""
-    if _interpret():
-        from gpvae_tpu.ops import chol as chol_lib
-
-        ld, ld_inv = chol_lib.chol_and_inv(k[:, :nb, :nb])
-        return init_l(k, ld, ld_inv, nb)
-    return _init_l_chol_jit(k, nb, False)
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "interpret"))
@@ -778,6 +406,259 @@ def col_writeback(l, ld, ld_inv, panel_sub, block: int, nb: int):
             l, col, (0, block * nb, block * nb)
         )
     return _writeback_jit(l, ld, ld_inv, panel_sub, block, nb, False)
+
+
+# ---------------------------------------------------------------------------
+# Fused-gram variants: K tiles built in-kernel from the time vectors
+# ---------------------------------------------------------------------------
+
+def _gram_tile(tr, tc, mr, mc, ls, var, noise, kfn, is_diag):
+    """Gram tile ``[m, nb, nb]`` for row-times ``tr [m, nb]`` x col-times
+    ``tc [m, nb]`` with masks ``mr``/``mc`` and per-matrix ``ls``/``var``
+    ``[m, 1]`` — exactly :func:`gpvae_tpu.kernels.gram` semantics
+    ``((1-noise)*var*k(dt) + noise*I) masked-to-identity``; the identity
+    terms exist only on diagonal tiles (``is_diag``)."""
+    f32 = jnp.float32
+    dt = tr[:, :, None] - tc[:, None, :]
+    k = (1.0 - noise) * (var[:, :, None] * kfn(dt, ls[:, :, None]))
+    k = k * (mr[:, :, None] * mc[:, None, :])
+    nb = tr.shape[-1]
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, nb, nb), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (1, nb, nb), 2)
+    ).astype(f32)
+    # on the diagonal: noise*I*m_i + (1 - m_i)*I = I*(1 - m_i*(1-noise))
+    diag_term = eye * (1.0 - mr[:, :, None] * (1.0 - noise))
+    return k + jnp.where(is_diag, f32(1.0), f32(0.0)) * diag_term
+
+
+def _round_up8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def _slab8(n: int, budget_m: int) -> int:
+    """Largest multiple-of-8 divisor of ``n`` (callers pad n to 8k) that is
+    <= budget — the 2D time/mask tiles put the batch on the SUBLANE axis,
+    so Mosaic requires the block's m divisible by 8."""
+    assert n % 8 == 0, n
+    m = max(8, (min(budget_m, n) // 8) * 8)
+    while n % m != 0:
+        m -= 8
+    return m
+
+
+def _vmem_params(m: int, nb: int, o: int) -> pltpu.CompilerParams:
+    """Raised scoped-VMEM limit for the fused-gram kernels.
+
+    ``_slab8`` must keep the batch slab a multiple of 8 (the time/mask
+    tiles put the batch on the sublane axis), so at large history widths
+    ``o`` the forced m=8 can exceed the 6 MB ``_SLAB_BYTES`` budget —
+    at T=1024, block 7 (o=896) needs ~16.05 MB, 48 KB past the default
+    16 MB scoped limit.  Size the limit from the actual double-buffered
+    block footprints plus 25% headroom (v5e has 128 MB VMEM)."""
+    hist_row = 2 * 2 * nb * o          # hist + row, double-buffered
+    outs = 2 * 2 * nb * nb             # diag + sub outputs
+    need = 4 * m * (hist_row + outs) + 512 * 1024
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=max(16 * 1024 * 1024, int(need * 1.25)),
+    )
+
+
+def _make_gram_hist2_kernel(kfn, noise):
+    def kernel(tr_ref, tc_ref, mr_ref, mc_ref, ls_ref, var_ref,
+               hist_ref, row_ref, diag_ref, sub_ref):
+        j = pl.program_id(1)
+        ktile = _gram_tile(
+            tr_ref[...], tc_ref[...], mr_ref[...], mc_ref[...],
+            ls_ref[:, :1], var_ref[:, :1], noise, kfn, j == 0,
+        )
+        panel = ktile - split_dot(
+            hist_ref[...], row_ref[...], (((2,), (2,)), ((0,), (0,))),
+        )
+
+        @pl.when(j == 0)
+        def _():
+            diag_ref[...] = panel
+
+        @pl.when(j > 0)
+        def _():
+            sub_ref[...] = panel
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "nb", "kernel", "noise", "interpret")
+)
+def _gram_hist2_jit(l, times, mask, ls, var, block, nb, kernel, noise,
+                    interpret):
+    from gpvae_tpu import kernels as kernels_lib
+
+    n, t = times.shape
+    assert t % nb == 0 and 1 <= block < t // nb
+    o = block * nb
+    r = t - o
+    m = _slab8(n, _hist_slab(o, n, nb))
+    kfn = kernels_lib.get_kernel(kernel)
+    vec = pl.BlockSpec((m, nb), lambda i, j, b=block: (i, b + j))
+    vec0 = pl.BlockSpec((m, nb), lambda i, j, b=block: (i, b))
+    par = pl.BlockSpec((m, 128), lambda i, j: (i, 0))
+    pinned = pl.BlockSpec((m, nb, nb), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sub_spec = pl.BlockSpec(
+        (m, nb, nb), lambda i, j: (i, jnp.maximum(j - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    diag, sub = pl.pallas_call(
+        _make_gram_hist2_kernel(kfn, noise),
+        grid=(n // m, r // nb),
+        in_specs=[
+            vec, vec0, vec, vec0, par, par,
+            pl.BlockSpec((m, nb, o), lambda i, j, b=block: (i, b + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, nb, o), lambda i, j, b=block: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pinned, sub_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
+            jax.ShapeDtypeStruct((n, max(r - nb, nb), nb), jnp.float32),
+        ),
+        compiler_params=_vmem_params(m, nb, o),
+        interpret=interpret,
+    )(times, times, mask, mask, ls, var, l, l)
+    return diag, sub[:, : r - nb] if r - nb > 0 else sub[:, :0]
+
+
+def _make_gram_init_kernel(kfn, noise):
+    def kernel(tr_ref, tc_ref, mr_ref, mc_ref, ls_ref, var_ref,
+               ld_ref, ldi_ref, out_ref):
+        c = pl.program_id(1)
+        j = pl.program_id(2)
+
+        @pl.when((c == 0) & (j == 0))
+        def _():
+            out_ref[...] = ld_ref[...]
+
+        @pl.when((c == 0) & (j > 0))
+        def _():
+            ktile = _gram_tile(
+                tr_ref[...], tc_ref[...], mr_ref[...], mc_ref[...],
+                ls_ref[:, :1], var_ref[:, :1], noise, kfn, False,
+            )
+            out_ref[...] = split_dot(
+                ktile, ldi_ref[...], (((2,), (2,)), ((0,), (0,))),
+            )
+
+        @pl.when(c > 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nb", "kernel", "noise", "interpret")
+)
+def _gram_init_l_jit(times, mask, ls, var, ld, ld_inv, nb, kernel, noise,
+                     interpret):
+    from gpvae_tpu import kernels as kernels_lib
+
+    n, t = times.shape
+    m = _slab8(n, _wb_slab(n, nb))
+    nblk = t // nb
+    kfn = kernels_lib.get_kernel(kernel)
+    vec = pl.BlockSpec(
+        (m, nb), lambda i, c, j: (i, jnp.where(c == 0, j, 0))
+    )
+    vec0 = pl.BlockSpec((m, nb), lambda i, c, j: (i, 0))
+    par = pl.BlockSpec((m, 128), lambda i, c, j: (i, 0))
+    mat0 = pl.BlockSpec((m, nb, nb), lambda i, c, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_gram_init_kernel(kfn, noise),
+        grid=(n // m, nblk, nblk),
+        in_specs=[vec, vec0, vec, vec0, par, par, mat0, mat0],
+        out_specs=pl.BlockSpec((m, nb, nb), lambda i, c, j: (i, j, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, t, t), jnp.float32),
+        interpret=interpret,
+    )(times, times, mask, mask, ls, var, ld, ld_inv)
+    return out
+
+
+def cholesky_gram_inplace(
+    times: jnp.ndarray,
+    lengthscales: jnp.ndarray,
+    mask: jnp.ndarray | None,
+    variance: jnp.ndarray,
+    kernel: str = "rbf",
+    noise: float = 1e-3,
+    nb: int = 128,
+) -> jnp.ndarray:
+    """Fused gram construction + in-place blocked Cholesky.
+
+    ``times [N, T]``, ``lengthscales [N]``, ``mask [N, T]`` bool or None,
+    ``variance [N]`` -> ``L [N, T, T]``.  Equivalent to
+    ``cholesky_inplace(kernels.gram(...))`` but the ``[N, T, T]`` gram
+    never exists in HBM: every K tile is built in-kernel from the O(N*T)
+    time vectors — at T=1024 N=128 this deletes a 537 MB gram write AND a
+    537 MB K read from the critical path (the large-T extension of the
+    T<=64 lane-fused ``gram_chol_fused``, SURVEY.md §2.3).
+    """
+    from gpvae_tpu.ops import chol as chol_lib
+    from gpvae_tpu import kernels as kernels_lib
+
+    n, t = times.shape
+    f32 = jnp.float32
+    times = times.astype(f32)
+    mk = (jnp.ones((n, t), f32) if mask is None
+          else mask.astype(f32))
+    lengthscales = lengthscales.astype(f32).reshape(n)
+    variance = jnp.asarray(variance, f32).reshape(n)
+    n_pad = _round_up8(n)
+    if n_pad != n:
+        # fully-masked pad matrices factor to the identity (Mosaic wants
+        # the batch-on-sublane time/mask tiles in multiples of 8)
+        times = jnp.pad(times, ((0, n_pad - n), (0, 0)))
+        mk = jnp.pad(mk, ((0, n_pad - n), (0, 0)))
+        lengthscales = jnp.pad(lengthscales, (0, n_pad - n),
+                               constant_values=1.0)
+        variance = jnp.pad(variance, (0, n_pad - n), constant_values=1.0)
+    n_out, n = n, n_pad
+    num_blocks = -(-t // nb)
+    t_pad = num_blocks * nb
+    if t_pad != t:
+        times = jnp.pad(times, ((0, 0), (0, t_pad - t)))
+        mk = jnp.pad(mk, ((0, 0), (0, t_pad - t)))  # pad rows -> identity
+    if _interpret():
+        k = kernels_lib.gram(
+            times, lengthscales[:, None, None], kernel=kernel, noise=noise,
+            variance=variance[:, None, None], mask=mk > 0.5,
+        )
+        return cholesky_inplace(k, nb=nb)[:n_out, :t, :t]
+    ls = jnp.broadcast_to(lengthscales[:, None], (n, 128))
+    var = jnp.broadcast_to(variance[:, None], (n, 128))
+    k00 = kernels_lib.gram(
+        times[:, :nb], lengthscales[:, None, None],
+        kernel=kernel, noise=noise, variance=variance[:, None, None],
+        mask=mk[:, :nb] > 0.5,
+    )
+    ld, ld_inv = chol_lib.chol_and_inv(k00)
+    if num_blocks == 1:
+        return ld[:n_out, :t, :t]
+    l = _gram_init_l_jit(times, mk, ls, var, ld, ld_inv, nb, kernel, noise,
+                         False)
+    for b in range(1, num_blocks):
+        diag, sub = _gram_hist2_jit(l, times, mk, ls, var, b, nb, kernel,
+                                    noise, False)
+        if b == num_blocks - 1:
+            ld, _ = chol_lib.chol_and_inv(diag)
+            l = _writeback_diag_only(l, ld, b, nb)
+        else:
+            ld, ldi = chol_lib.chol_and_inv(diag)
+            l = col_writeback(l, ld, ldi, sub, b, nb)
+    return l[:n_out, :t, :t]
 
 
 # ---------------------------------------------------------------------------

@@ -216,11 +216,12 @@ def test_solve_triangular_inverse_route_large_t():
 ])
 def test_cholesky_round3_paths_vs_oracle(t, method):
     """Round-3 large-T paths: the in-place left-looking factorization
-    (ops/pallas_big.py) and the 64-wide fused panel path.  Tolerance 5e-5:
-    these paths use compensated 3-pass bf16 contractions (split_dot),
-    ~1.5e-5 relative at these depths — within the ELBO-level 1e-4
-    north-star budget (BASELINE.md), vs 4e-7 for the HIGHEST-precision
-    lane kernels at T <= 64."""
+    (ops/pallas_big.py) and the 64-wide fused panel path.  With
+    FAST_DOTS=False (the default since the round-3 A/B: the 3-pass bf16
+    dots bought ~4% and cost 200x factor accuracy on correlated grams)
+    every contraction is HIGHEST precision, so these sit in the ~1e-5
+    family; 5e-5 is a safe bound well inside the ELBO-level 1e-4
+    north-star budget (BASELINE.md)."""
     from gpvae_tpu.ops.chol import _cholesky_fwd_impl
 
     rng = np.random.default_rng(5)
