@@ -77,13 +77,16 @@ class GPVAEConfig:
     # Toeplitz): "toeplitz" replaces the dense prior factorization with an
     # O(T^2) Durbin scan + Gohberg-Semencul inverse (gp.gp_kl_toeplitz_prior;
     # BASELINE config 3, T=1024); "dense" forces the dense path.  "auto"
-    # currently resolves to dense everywhere: the Durbin scan is a
-    # sequential O(T) recurrence and measured SLOWER than the MXU's
-    # brute-force dense factorization at every benchmarked size on v5e
-    # (8.5 vs 5.0 ms at T=1024 shared-grid — BASELINE.md); the structured
-    # path remains an explicit opt-in for memory-bound or asymptotic
-    # regimes.  Requires an arithmetic grid (times[0] uniform) — not
-    # checked under jit.
+    # resolves at the first non-jit boundary (train.fit /
+    # fit_data_parallel / the CLI call models.resolve_structured_prior
+    # with the first batch's times): toeplitz when the prior is a GP on a
+    # shared-uniform-full grid, dense otherwise.  Measured on v5e
+    # (driver-captured): the structured KL beats the dense-prior KL at
+    # T=1024 shared-grid since the O(T^2 log T) FFT application of the GS
+    # inverse landed (BENCH_r02 8.59 vs 11.82 ms; the earlier
+    # 8.5-vs-5.0 ms dense-matmul-application numbers are superseded —
+    # BASELINE.md round 3).  Under jit the grid cannot be validated,
+    # hence the host-side resolution step.
     structured_prior: str = "auto"
     # sparse inducing-point (FITC) prior for long sequences (sparse.py)
     num_inducing: int = 64
@@ -183,6 +186,40 @@ def check_structured_grid(config: GPVAEConfig, times, mask=None) -> None:
             "structured_prior='toeplitz' requires a full mask (shared "
             "uniform grid, no missing steps)"
         )
+
+
+def resolve_structured_prior(
+    config: GPVAEConfig, times, mask=None
+) -> GPVAEConfig:
+    """Resolve ``structured_prior='auto'`` against the first real batch.
+
+    Host-side (non-jit) companion to :func:`check_structured_grid`:
+    explicit settings are validated and returned unchanged; ``auto``
+    becomes ``'toeplitz'`` when the prior is a GP on a shared uniform full
+    grid matching ``config.time_len`` (where the Durbin+FFT-GS KL measures
+    faster than the dense prior factorization on v5e — BASELINE.md round
+    3), and ``'dense'`` otherwise.  Train.fit / fit_data_parallel call
+    this with the first batch; library users composing their own loops
+    should too (under jit a wrong structured prior is silent).
+    """
+    if config.structured_prior != "auto":
+        check_structured_grid(config, times, mask)
+        return config
+    if config.prior != "gp" or not config.shared_time_grid:
+        return dataclasses.replace(config, structured_prior="dense")
+    import numpy as np
+    t_arr = np.asarray(times)
+    ok = t_arr.ndim == 2 and t_arr.shape[1] == config.time_len
+    if ok:
+        steps = np.diff(t_arr[0].astype(np.float64))
+        ok = steps.size > 0 and bool(
+            np.allclose(steps, steps[0], rtol=1e-4, atol=1e-6)
+        ) and float(steps[0]) > 0.0
+    if ok and mask is not None:
+        ok = bool(np.all(np.asarray(mask)))
+    return dataclasses.replace(
+        config, structured_prior="toeplitz" if ok else "dense"
+    )
 
 
 @dataclasses.dataclass

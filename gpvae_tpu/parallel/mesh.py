@@ -158,6 +158,13 @@ def fit_data_parallel(
     if mesh is None:
         mesh = make_mesh(axis_name=axis_name)
     first = next(batches)
+    if first.get("times") is not None:
+        from gpvae_tpu import models as models_lib
+        cfg = models_lib.resolve_structured_prior(
+            model.config, first["times"], first.get("mask")
+        )
+        if cfg is not model.config:
+            model = type(model)(cfg)
     if state is None:
         state, tx = train_lib.create_train_state(model, first, config)
     else:

@@ -396,11 +396,14 @@ def fit(
     else:
         first = next(batches)
     if first.get("times") is not None:
-        # fail fast on a non-uniform grid before jit silently computes a
-        # wrong structured prior (see models.check_structured_grid)
-        models_lib.check_structured_grid(
+        # resolve structured_prior='auto' against the real grid, and fail
+        # fast on a non-uniform grid before jit silently computes a wrong
+        # structured prior (see models.resolve_structured_prior)
+        cfg = models_lib.resolve_structured_prior(
             model.config, first["times"], first.get("mask")
         )
+        if cfg is not model.config:
+            model = type(model)(cfg)
     if state is None:
         state, tx = create_train_state(model, first, config)
     else:

@@ -116,19 +116,93 @@ def test_t1024_preset_registered_and_auto_threshold():
     assert p.model.structured_prior == "toeplitz"
     dp = configs.get("dp_scale")
     assert dp.batch_size == 4096
-    # auto resolves to dense everywhere (the sequential Durbin scan
-    # measured slower than the MXU dense factorization on v5e — see
-    # GPVAEConfig.structured_prior); toeplitz stays an explicit opt-in
+    # unresolved "auto" behaves as dense; the host-boundary resolution
+    # against the first real batch is tested below
+    # (test_resolve_structured_prior_auto)
     small = configs.get("full_gp_fixed").model
     assert not small.toeplitz_prior
     auto_big = dataclasses.replace(
         small, time_len=512, structured_prior="auto"
     )
-    assert not auto_big.toeplitz_prior
+    assert not auto_big.toeplitz_prior  # unresolved auto stays dense
     explicit = dataclasses.replace(
         small, time_len=512, structured_prior="toeplitz"
     )
     assert explicit.toeplitz_prior
+
+
+def test_resolve_structured_prior_auto():
+    """'auto' resolves against the first real batch at the host boundary:
+    toeplitz on a shared-uniform-full grid, dense otherwise; explicit
+    settings are validated, not overridden."""
+    from gpvae_tpu.models import resolve_structured_prior
+
+    base = configs.get("full_gp_fixed").model
+    auto = dataclasses.replace(
+        base, time_len=64, structured_prior="auto", shared_time_grid=True
+    )
+    uniform = np.broadcast_to(
+        np.arange(64, dtype=np.float32) * 0.5, (3, 64)
+    )
+    full = np.ones((3, 64), bool)
+    assert resolve_structured_prior(auto, uniform, full).toeplitz_prior
+    # uniform grid, no mask given -> toeplitz too
+    assert resolve_structured_prior(auto, uniform, None).toeplitz_prior
+    # non-uniform grid -> dense
+    ragged = np.sort(np.random.default_rng(0).uniform(0, 60, (3, 64)), -1)
+    r = resolve_structured_prior(auto, ragged.astype(np.float32), full)
+    assert r.structured_prior == "dense"
+    # runtime T != config.time_len -> dense
+    short = resolve_structured_prior(auto, uniform[:, :32], full[:, :32])
+    assert short.structured_prior == "dense"
+    # holes in the mask -> dense
+    holey = full.copy(); holey[0, 5] = False
+    assert resolve_structured_prior(
+        auto, uniform, holey
+    ).structured_prior == "dense"
+    # non-GP prior or unshared grid -> dense regardless of the data
+    std = dataclasses.replace(
+        auto, prior="standard", posterior="diag", latent_dim=base.latent_dim
+    )
+    assert resolve_structured_prior(
+        std, uniform, full
+    ).structured_prior == "dense"
+    # explicit toeplitz on a bad grid still raises (validation preserved)
+    explicit = dataclasses.replace(auto, structured_prior="toeplitz")
+    with pytest.raises(ValueError):
+        resolve_structured_prior(explicit, ragged.astype(np.float32), full)
+    # explicit dense passes through untouched
+    dense = dataclasses.replace(auto, structured_prior="dense")
+    assert resolve_structured_prior(dense, uniform, full) is dense
+
+
+def test_fit_resolves_auto_to_toeplitz():
+    """train.fit on a shared uniform grid with structured_prior='auto'
+    trains the Toeplitz KL path (finite loss; model swap is invisible to
+    the caller's params)."""
+    from gpvae_tpu import train as train_lib
+    from gpvae_tpu.data.batching import Batcher
+
+    t = 32
+    base = configs.get("full_gp_fixed").model
+    cfg = dataclasses.replace(
+        base, time_len=t, structured_prior="auto", shared_time_grid=True,
+        obs_dim=6, latent_dim=2, encoder="dense", decoder="dense",
+    )
+    model = GPVAE(cfg)
+    rng = np.random.default_rng(3)
+    arrays = {
+        "x": (rng.uniform(size=(16, t, 6)) > 0.5).astype(np.float32),
+        "times": np.broadcast_to(
+            np.arange(t, dtype=np.float32) * 0.7, (16, t)
+        ).copy(),
+        "mask": np.ones((16, t), bool),
+    }
+    batcher = Batcher(arrays, batch_size=8, seed=0)
+    tcfg = train_lib.TrainConfig(num_steps=4, log_every=2, steps_per_call=1)
+    state, log = train_lib.fit(model, batcher, tcfg, verbose=False)
+    losses = [m["loss"] for m in log.rows]
+    assert np.isfinite(losses).all()
 
 
 def test_cli_t1024_preset_smoke(capsys):
