@@ -70,26 +70,6 @@ def timed_median(run_once, reps: int, *, outer: int = 3) -> float:
     return statistics.median(trials)
 
 
-def _chol_bank(method: str):
-    """chol_gram_bank implementation for the requested path."""
-    from gpvae_tpu import gp as gp_lib
-    from gpvae_tpu import kernels as kernels_lib
-    from gpvae_tpu.ops import cholesky
-
-    if method == "pallas":
-        return gp_lib.chol_gram_bank
-
-    def unfused(times, ls, *, mask=None, kernel="rbf",
-                noise=kernels_lib.DEFAULT_NOISE, variance=1.0):
-        k = kernels_lib.gram_bank(
-            times, ls, kernel=kernel, noise=noise, variance=variance,
-            mask=mask,
-        )
-        return cholesky(k, method="xla")
-
-    return unfused
-
-
 def _toy_arrays(t: int, batch: int, n_stack: int):
     rng = np.random.default_rng(0)
     x = (rng.random((n_stack, batch, t, 15)) < 0.4).astype(np.float32)
@@ -111,17 +91,18 @@ def time_train(method: str, t: int = 45, batch: int = 20,
     import optax
 
     from gpvae_tpu import elbo as elbo_lib
-    from gpvae_tpu import gp as gp_lib
     from gpvae_tpu.models import GPVAE, GPVAEConfig
     from gpvae_tpu.train import TrainConfig, TrainState, create_train_state
-
-    chol_bank = _chol_bank(method)
 
     cfg = GPVAEConfig(
         latent_dim=2, obs_dim=15, time_len=t,
         prior="gp", posterior="gp",
         prior_lengthscales=(9.0, 3.0), posterior_lengthscales=(9.0, 3.0),
         encoder="dense", decoder="dense",
+        # the covariance implementation is threaded as config data
+        # (gp.chol_gram_bank(impl=...)) — "xla" is the composed
+        # gram + jnp.linalg.cholesky baseline, "auto" the fused Pallas path
+        cov_impl="auto" if method == "pallas" else method,
     )
     model = GPVAE(cfg)
     x, times, mask = _toy_arrays(t, batch, n_stack)
@@ -135,16 +116,10 @@ def time_train(method: str, t: int = 45, batch: int = 20,
         beta = sched(state.step)
 
         def loss_fn(params):
-            # swap the covariance path for this trace
-            prev = gp_lib.chol_gram_bank
-            gp_lib.chol_gram_bank = chol_bank
-            try:
-                out = model.apply(
-                    {"params": params}, b["x"], b["times"], b["mask"],
-                    beta=beta, rngs={"sample": sample_key},
-                )
-            finally:
-                gp_lib.chol_gram_bank = prev
+            out = model.apply(
+                {"params": params}, b["x"], b["times"], b["mask"],
+                beta=beta, rngs={"sample": sample_key},
+            )
             return out.loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

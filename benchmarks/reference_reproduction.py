@@ -7,10 +7,17 @@ irregular masked times, Z=2, S=1, Adam 2e-4, beta 1e-3 +1e-7/step after
 data, recording the loss/NLL/KL/lengthscale trajectories the reference
 prints every 500 steps, plus final imputation metrics.
 
-Optionally (``--fp64-check``) re-runs the first segment of the same
-trajectory with fp64 XLA-Cholesky math on CPU from identical init to bound
-the fp32+Pallas vs fp64 trajectory divergence — the SURVEY §6 consequence
-(1) evidence: "reproduce reference ELBO trajectories on the toy config".
+Optionally (``--fp64-check-steps N``) audits the live trajectory against
+the fp64 reference-math oracle: every log interval during the first N
+steps, the ELBO at the *current* parameters is re-evaluated on a fixed
+probe batch both by the framework's fp32 Pallas path and by the fp64
+numpy re-derivation of the reference formulas
+(gpvae_tpu.utils.reference_math — explicit matrix-inverse + logdet KL,
+src/Models/syndata/GP_VAE_syn_data.py:168-236), with the same latent
+draw.  The recorded max relative deviation bounds the fp32+Pallas vs
+fp64 divergence along a real training trajectory — the SURVEY §6
+consequence (1) evidence: "reproduce reference ELBO trajectories on the
+toy config".
 
 Writes a JSON summary + CSV next to ``--out`` and a trajectory PNG.
 """
@@ -34,16 +41,18 @@ def main():
     ap.add_argument("--out", default="/tmp/ref_repro")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fp64-check-steps", type=int, default=0,
-                    help="also run N steps of the same trajectory in fp64 "
-                    "on CPU (slow; run in a CPU-forced process)")
+                    help="audit the first N steps of the trajectory against "
+                    "the fp64 reference-math oracle (every log interval)")
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from gpvae_tpu import analysis, configs
     from gpvae_tpu.data import Batcher, generate_toy_data, toy_to_masked_batch
     from gpvae_tpu.models import GPVAE
     from gpvae_tpu import train as train_lib
+    from gpvae_tpu.utils import reference_math
     import dataclasses
 
     os.makedirs(args.out, exist_ok=True)
@@ -62,15 +71,58 @@ def main():
         checkpoint_dir=None,
     )
     sampler = Batcher(train_arrays, preset.batch_size, seed=args.seed)
+
+    # --- fp64 reference-math trajectory audit (--fp64-check-steps) --------
+    fp64_rows: list[dict] = []
+    callbacks = None
+    if args.fp64_check_steps > 0:
+        probe = {
+            k: v[: preset.batch_size] for k, v in train_arrays.items()
+        }
+        probe_x = jnp.asarray(probe["x"])
+        probe_t = jnp.asarray(probe["times"], jnp.float32)
+        probe_m = jnp.asarray(probe["mask"])
+        probe_key = jax.random.key(99)
+        beta_sched = train_cfg.beta
+        ls_p_fixed = preset.model.prior_lengthscales
+
+        def fp64_check(state, step):
+            if step > args.fp64_check_steps:
+                return
+            beta = float(beta_sched(step)) if callable(beta_sched) else float(
+                beta_sched
+            )
+            out = model.apply(
+                {"params": state.params}, probe_x, probe_t, probe_m,
+                beta=beta, rngs={"sample": probe_key},
+            )
+            ref = reference_math.fp64_elbo(
+                state.params, probe["x"], probe["times"], probe["mask"],
+                np.asarray(out.latent_sample[0]), beta,
+                prior_lengthscales=ls_p_fixed,
+            )
+            kl_fw = float(jnp.sum(out.kl))
+            nll_fw = float(jnp.sum(out.nll))
+            loss_fw = float(out.loss)
+            fp64_rows.append({
+                "step": int(step),
+                "loss_fp32": loss_fw, "loss_fp64_ref": ref["loss"],
+                "kl_rel": abs(kl_fw - ref["kl"]) / max(abs(ref["kl"]), 1e-12),
+                "nll_rel": abs(nll_fw - ref["nll"]) / max(
+                    abs(ref["nll"]), 1e-12),
+                "loss_rel": abs(loss_fw - ref["loss"]) / max(
+                    abs(ref["loss"]), 1e-12),
+            })
+
+        callbacks = [(train_cfg.log_every, fp64_check)]
+
     t0 = time.time()
     state, log = train_lib.fit(
         model, sampler, train_cfg,
         csv_path=os.path.join(args.out, "trajectory.csv"),
-        verbose=False,
+        verbose=False, callbacks=callbacks,
     )
     wall = time.time() - t0
-
-    import jax.numpy as jnp
     x = jnp.asarray(test_arrays["x"][:64])
     times = jnp.asarray(test_arrays["times"][:64], jnp.float32)
     mask = jnp.asarray(test_arrays["mask"][:64])
@@ -91,6 +143,14 @@ def main():
             "lengthscale_posterior"
         ) if rows else None,
     }
+    if fp64_rows:
+        summary["fp64_reference_audit"] = {
+            "checked_steps": [r["step"] for r in fp64_rows],
+            "max_loss_rel": max(r["loss_rel"] for r in fp64_rows),
+            "max_kl_rel": max(r["kl_rel"] for r in fp64_rows),
+            "max_nll_rel": max(r["nll_rel"] for r in fp64_rows),
+            "rows": fp64_rows,
+        }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2, default=str)
     print(json.dumps(summary, default=str))

@@ -62,12 +62,12 @@ def _inverse_path(t: int) -> bool:
 # ---------------------------------------------------------------------------
 
 def _chol_gram_bank_unfused(times, lengthscales, mask, variance, kernel,
-                            noise):
+                            noise, method="auto"):
     k = kernels_lib.gram_bank(
         times, lengthscales, kernel=kernel, noise=noise, variance=variance,
         mask=mask,
     )
-    return cholesky(k)
+    return cholesky(k, method=method)
 
 
 def _gram_chol_blocked(times, lengthscales, mask, variance, kernel, noise):
@@ -159,6 +159,7 @@ def chol_gram_bank(
     noise: float = kernels_lib.DEFAULT_NOISE,
     variance: jnp.ndarray | float = 1.0,
     diff_times: bool = False,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Cholesky factors ``L [B, Z, T, T]`` of the per-latent gram bank.
 
@@ -171,9 +172,21 @@ def chol_gram_bank(
     times (learned time warps) — the default backward returns an explicit
     zero for them, because the extra pullback costs ~12% of training
     throughput and times are data in every shipped model.
+
+    ``impl`` selects the implementation as data (no module patching):
+    ``"auto"`` (fused Pallas on TPU, composed gram+XLA-chol elsewhere),
+    ``"fused"`` (force the Pallas path), or ``"xla"`` (force the composed
+    gram + ``jnp.linalg.cholesky`` path — the bench baseline, i.e. what a
+    straight TF->JAX translation of the reference would delegate to).
     """
+    if impl not in ("auto", "fused", "xla"):
+        raise ValueError("impl must be auto, fused, or xla")
     variance = jnp.asarray(variance, jnp.float32)
-    if dispatch.on_tpu() and kernel in kernels_lib.KERNELS:
+    if impl == "xla":
+        return _chol_gram_bank_unfused(times, lengthscales, mask, variance,
+                                       kernel, noise, method="xla")
+    if impl == "fused" or (
+            dispatch.on_tpu() and kernel in kernels_lib.KERNELS):
         # T <= 64: lane-fused single kernel; larger T: blocked in-place
         # factorization with gram tiles built in-kernel — either way the
         # gram bank never exists in HBM

@@ -91,6 +91,10 @@ class GPVAEConfig:
     # sparse inducing-point (FITC) prior for long sequences (sparse.py)
     num_inducing: int = 64
     inducing_time_range: tuple[float, float] | None = None
+    # covariance factorization implementation, threaded to gp.chol_gram_bank
+    # as data (bench.py's xla-baseline path uses this; no module patching):
+    # "auto" | "fused" | "xla"
+    cov_impl: str = "auto"
 
     def __post_init__(self):
         if self.prior not in PRIORS:
@@ -120,6 +124,8 @@ class GPVAEConfig:
             raise ValueError(
                 "structured_prior must be auto, dense, or toeplitz"
             )
+        if self.cov_impl not in ("auto", "fused", "xla"):
+            raise ValueError("cov_impl must be auto, fused, or xla")
         if self.structured_prior == "toeplitz" and not self.shared_time_grid:
             raise ValueError(
                 "the toeplitz structured prior requires shared_time_grid "
@@ -318,6 +324,7 @@ class GPVAE(nn.Module):
         return gp.chol_gram_bank(
             times, jnp.exp(self.posterior_log_ls), mask=mask,
             kernel=self.config.kernel, noise=self.config.noise,
+            impl=self.config.cov_impl,
         )
 
     def prior_chol(self, times, mask):
@@ -325,6 +332,7 @@ class GPVAE(nn.Module):
         return gp.chol_gram_bank(
             times, jnp.exp(self.prior_log_ls), mask=mask,
             kernel=self.config.kernel, noise=self.config.noise,
+            impl=self.config.cov_impl,
         )
 
     def inducing_times(self):
@@ -362,18 +370,19 @@ class GPVAE(nn.Module):
             ])
             l_all = gp.chol_gram_bank(
                 times, ls, mask=mask, kernel=c.kernel, noise=c.noise,
+                impl=c.cov_impl,
             )
             out["l_q"] = l_all[:, : c.latent_dim]
             out["l_p"] = l_all[:, c.latent_dim:]
         elif want_q:
             out["l_q"] = gp.chol_gram_bank(
                 times, jnp.exp(self.posterior_log_ls), mask=mask,
-                kernel=c.kernel, noise=c.noise,
+                kernel=c.kernel, noise=c.noise, impl=c.cov_impl,
             )
         elif want_p:
             out["l_p"] = gp.chol_gram_bank(
                 times, jnp.exp(self.prior_log_ls), mask=mask,
-                kernel=c.kernel, noise=c.noise,
+                kernel=c.kernel, noise=c.noise, impl=c.cov_impl,
             )
         return out
 

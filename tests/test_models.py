@@ -184,3 +184,34 @@ def test_all_presets_construct():
         preset = configs.get(name)
         assert preset.model.latent_dim > 0
         GPVAE(preset.model)  # validates config
+
+
+def test_cov_impl_threaded_as_config_data():
+    """cov_impl="xla" (the bench baseline) computes the same ELBO as the
+    default dispatch — the implementation choice is config data threaded to
+    gp.chol_gram_bank(impl=...), not a module patch (VERDICT r2 weak #8)."""
+    rng = np.random.default_rng(3)
+    x, times, mask = toy_batch(rng)
+    base = dict(
+        latent_dim=2, obs_dim=15, time_len=9,
+        prior="gp", posterior="gp",
+        prior_lengthscales=(9.0, 3.0), posterior_lengthscales=(9.0, 3.0),
+        encoder="dense", decoder="dense",
+    )
+    m_auto = GPVAE(GPVAEConfig(**base))
+    m_xla = GPVAE(GPVAEConfig(**base, cov_impl="xla"))
+    params = m_auto.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        x, times, mask,
+    )
+    out_a = m_auto.apply(
+        params, x, times, mask, beta=0.5, rngs={"sample": jax.random.key(2)}
+    )
+    out_x = m_xla.apply(
+        params, x, times, mask, beta=0.5, rngs={"sample": jax.random.key(2)}
+    )
+    np.testing.assert_allclose(
+        float(out_a.loss), float(out_x.loss), rtol=1e-5
+    )
+    with pytest.raises(ValueError):
+        GPVAEConfig(**base, cov_impl="cuda")

@@ -13,60 +13,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpvae_tpu.models import GPVAE, GPVAEConfig
-
-NOISE = 1e-3
-
-
-# --- fp64 numpy reference math (re-derived from the reference formulas,
-# --- not translated code) --------------------------------------------------
-
-def ref_gram(times, ls):
-    dt = times[:, None] - times[None, :]
-    k = np.exp(-(dt ** 2) / (2.0 * ls ** 2))
-    return (1.0 - NOISE) * k + NOISE * np.eye(len(times))
-
-
-def ref_kl_full_gp(mu_seq, times_seq, ls_q, ls_p):
-    """Per-sequence sum over latents of the reference gp_kl_div
-    (GP_VAE_syn_data.py:216-236): fp64, explicit inverse, logdet."""
-    total = 0.0
-    t = len(times_seq)
-    for d in range(mu_seq.shape[1]):
-        kq = ref_gram(times_seq, ls_q[d])
-        kp = ref_gram(times_seq, ls_p[d])
-        kp_inv = np.linalg.inv(kp)
-        mu = mu_seq[:, d]
-        kl = 0.5 * (
-            np.trace(kp_inv @ kq)
-            - t
-            + np.linalg.slogdet(kp)[1]
-            - np.linalg.slogdet(kq)[1]
-            + mu @ kp_inv @ mu
-        )
-        total += kl
-    return total
-
-
-def ref_bernoulli_nll(x_seq, probs_seq):
-    """Reference clamped form (GP_VAE_syn_data.py:334-341)."""
-    return -np.sum(
-        x_seq * np.log(probs_seq + 1e-10)
-        + (1.0 - x_seq) * np.log(1.0 - probs_seq + 1e-10)
-    )
-
-
-def ref_mlp_forward(params, x, layer_names, final_name, final_sigmoid):
-    h = x
-    for name in layer_names:
-        w = np.asarray(params[name]["kernel"], np.float64)
-        b = np.asarray(params[name]["bias"], np.float64)
-        h = np.maximum(h @ w + b, 0.0)
-    w = np.asarray(params[final_name]["kernel"], np.float64)
-    b = np.asarray(params[final_name]["bias"], np.float64)
-    out = h @ w + b
-    if final_sigmoid:
-        out = 1.0 / (1.0 + np.exp(-out))
-    return out
+# the fp64 oracle lives in the library (it also audits live training
+# trajectories via benchmarks/reference_reproduction.py --fp64-check-steps)
+from gpvae_tpu.utils.reference_math import (
+    ref_bernoulli_nll,
+    ref_kl_full_gp,
+    ref_mlp_forward,
+)
 
 
 def test_elbo_parity_with_reference_math():
