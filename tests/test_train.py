@@ -108,3 +108,40 @@ def test_fit_callbacks_fire():
         callbacks=[(10, lambda state, step: calls.append(step))],
     )
     assert calls == [10, 20, 30]
+
+
+def test_fp64_trajectory_audit_machinery():
+    """The reference-reproduction runner's --fp64-check-steps audit
+    (benchmarks/reference_reproduction.py) re-evaluates the ELBO at live
+    trained params with the fp64 reference-math oracle.  Lock the
+    machinery: after a short fit, the framework ELBO at the final params
+    must match utils.reference_math.fp64_elbo within the 1e-4 north star
+    (BASELINE.json)."""
+    import jax.numpy as jnp
+    from gpvae_tpu.utils import reference_math
+
+    model, batches, batch = small_toy_setup(num_seqs=8, t=12, batch_size=4)
+    config = train_lib.TrainConfig(
+        num_steps=60, log_every=30,
+        beta=elbo_lib.BetaSchedule(init=1e-3, rate=0.0),
+    )
+    state, _ = train_lib.fit(model, iter(batches), config, verbose=False)
+    probe = {k: v[:4] for k, v in batch.items()}
+    beta = 1e-3
+    out = model.apply(
+        {"params": state.params},
+        jnp.asarray(probe["x"], jnp.float32),
+        jnp.asarray(probe["times"], jnp.float32),
+        jnp.asarray(probe["mask"]),
+        beta=beta, rngs={"sample": jax.random.key(5)},
+    )
+    ref = reference_math.fp64_elbo(
+        state.params, probe["x"], probe["times"], probe["mask"],
+        np.asarray(out.latent_sample[0]), beta,
+        prior_lengthscales=(9.0, 3.0),
+    )
+    kl_fw = float(np.sum(np.asarray(out.kl)))
+    nll_fw = float(np.sum(np.asarray(out.nll)))
+    assert abs(kl_fw - ref["kl"]) / abs(ref["kl"]) < 1e-4
+    assert abs(nll_fw - ref["nll"]) / abs(ref["nll"]) < 1e-4
+    assert abs(float(out.loss) - ref["loss"]) / abs(ref["loss"]) < 1e-4
