@@ -51,8 +51,20 @@ def _interpret() -> bool:
     return not dispatch.on_tpu()
 
 
-def _chol_lane_body(a, l_ref, t_pad):
-    """Shared column recurrence: factor ``a`` [T, T, L] into ``l_ref``."""
+# Blocked (8-column-panel, shrinking-trailing) lane bodies: identical math
+# to the flat column recurrence (bitwise: same per-element operation order)
+# but ~3x less VPU element work — panel-step updates touch [r, 8, L]
+# instead of [T, T, L], trailing rank-8 updates run once per panel on the
+# shrinking Schur complement, and the inverse substitution contracts only
+# the rows that can be nonzero.  Defaults False until the Mosaic lowering
+# is validated + measured on the real chip (benchmarks/prof_lane.py A/Bs
+# both arms); both bodies are fp64-parity-tested in interpret mode.
+BLOCKED_LANE_BODY = False
+_PANEL = 8
+
+
+def _chol_lane_body_flat(a, l_ref, t_pad):
+    """Flat column recurrence: factor ``a`` [T, T, L] into ``l_ref``."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
     for j in range(t_pad):
         d = jax.lax.rsqrt(jnp.maximum(a[j, j, :], _DIAG_EPS))  # [L]
@@ -63,13 +75,62 @@ def _chol_lane_body(a, l_ref, t_pad):
     return a
 
 
+def _panel_factor(a_cur, l_ref, base, pw):
+    """Factor the leading ``pw`` columns of the trailing submatrix
+    ``a_cur [r, r, L]``, writing final L columns at absolute offset
+    ``base``.  Returns (below-panel final columns ``[pw] of [r-pw, L]``,
+    per-column inverse diagonals ``[pw] of [L]``)."""
+    r = a_cur.shape[0]
+    rows_r = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    ap = a_cur[:, :pw, :]                                      # [r, pw, L]
+    cols, ds = [], []
+    for jj in range(pw):
+        d = jax.lax.rsqrt(jnp.maximum(ap[jj, jj, :], _DIAG_EPS))  # [L]
+        col = ap[:, jj, :] * d[None, :]                        # [r, L]
+        col = jnp.where(rows_r >= jj, col, 0.0)
+        l_ref[base:, base + jj, :] = col
+        # columns <= jj of ap are never read again: no update mask needed
+        ap = ap - col[:, None, :] * col[:pw][None, :, :]
+        cols.append(col[pw:])
+        ds.append(d)
+    return cols, ds
+
+
+def _panel_trailing(a_cur, cols, pw):
+    """Rank-``pw`` Schur-complement update: trailing [r-pw, r-pw, L] minus
+    the below-panel columns' outer products."""
+    trail = a_cur[pw:, pw:, :]
+    for ck in cols:
+        trail = trail - ck[:, None, :] * ck[None, :, :]
+    return trail
+
+
+def _chol_lane_body_blocked(a, l_ref, t_pad, pw=_PANEL):
+    """Blocked factor body (see BLOCKED_LANE_BODY).  Writes every column of
+    ``l_ref`` (upper triangle zero-initialized in one pass)."""
+    l_ref[...] = jnp.zeros_like(a)
+    a_cur = a
+    for p in range(t_pad // pw):
+        base = p * pw
+        cols, _ = _panel_factor(a_cur, l_ref, base, pw)
+        if t_pad - base > pw:
+            a_cur = _panel_trailing(a_cur, cols, pw)
+
+
+def _chol_lane_body(a, l_ref, t_pad):
+    if BLOCKED_LANE_BODY and t_pad % _PANEL == 0:
+        _chol_lane_body_blocked(a, l_ref, t_pad)
+        return None
+    return _chol_lane_body_flat(a, l_ref, t_pad)
+
+
 def _chol_kernel(a_ref, l_ref):
     # refs are [1, T, T, L] (grouped layout); squeeze the group dim
     t_pad = a_ref.shape[1]
     _chol_lane_body(a_ref[0], l_ref.at[0], t_pad)
 
 
-def _chol_inv_kernel(a_ref, l_ref, x_ref):
+def _chol_inv_kernel_flat(a_ref, l_ref, x_ref):
     """Factor AND invert in one pass: after column j of L is final, row j of
     X = L^{-1} follows by forward substitution using the already-written
     rows (X rows >= j still zero, so the full contraction needs no mask)."""
@@ -94,6 +155,42 @@ def _chol_inv_kernel(a_ref, l_ref, x_ref):
         acc = jnp.sum(l_row[:, None, :] * xv[...], axis=0)     # [T, L]
         onehot = (rows == j).astype(col.dtype)
         xv[j, :, :] = (onehot - acc) * d[None, :]
+
+
+def _chol_inv_kernel_blocked(a_ref, l_ref, x_ref, pw=_PANEL):
+    """Blocked fused factor+inverse.  The factor side is
+    :func:`_chol_lane_body_blocked`; the substitution for X = L^{-1} runs
+    per panel once its L rows are final, contracting only the first
+    ``base+pw`` X rows (rows >= j are still zero — and L[j, c] = 0 for
+    c in (j, base+pw] by the row mask, so the panel-aligned read is exact)."""
+    t_pad = a_ref.shape[1]
+    a = a_ref[0]
+    lv = l_ref.at[0]
+    xv = x_ref.at[0]
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
+    xv[...] = jnp.zeros_like(a)
+    lv[...] = jnp.zeros_like(a)
+    a_cur = a
+    for p in range(t_pad // pw):
+        base = p * pw
+        cols, ds = _panel_factor(a_cur, lv, base, pw)
+        for jj in range(pw):
+            j = base + jj
+            l_row = lv[j, : base + pw, :]                  # [base+pw, L]
+            acc = jnp.sum(
+                l_row[:, None, :] * xv[: base + pw, :, :], axis=0
+            )                                              # [T, L]
+            onehot = (rows_t == j).astype(acc.dtype)
+            xv[j, :, :] = (onehot - acc) * ds[jj][None, :]
+        if t_pad - base > pw:
+            a_cur = _panel_trailing(a_cur, cols, pw)
+
+
+def _chol_inv_kernel(a_ref, l_ref, x_ref):
+    if BLOCKED_LANE_BODY and a_ref.shape[1] % _PANEL == 0:
+        _chol_inv_kernel_blocked(a_ref, l_ref, x_ref)
+    else:
+        _chol_inv_kernel_flat(a_ref, l_ref, x_ref)
 
 
 def chol_small_batched(k: jnp.ndarray, lower_only: bool = True) -> jnp.ndarray:
