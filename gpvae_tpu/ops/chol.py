@@ -120,6 +120,34 @@ def chol_and_inv(
     return l, inv
 
 
+def chol_wide(d: jnp.ndarray, base: int | None = None) -> jnp.ndarray:
+    """``L`` of batched PSD ``d [N, nb, nb]`` — the :func:`chol_and_inv`
+    recursion *without* the inverse assembly.
+
+    Identical factor values (the L11/A21/S22 chain is the same arithmetic)
+    but the trailing half skips the inverse substitution in the lane kernel
+    and the ``inv21``/``inv`` concat writes.  Use for FINAL diagonal blocks,
+    whose ``L^{-1}`` nothing consumes (the writeback substitution only needs
+    inverses of *earlier* blocks).
+    """
+    n, nb, _ = d.shape
+    if base is None:
+        base = pallas_chol.LANE_BATCH_MAX_T
+    d = jax.lax.optimization_barrier(d)
+    if nb <= base or nb <= 8:
+        return _chol_diag_block(d)
+    h = nb // 2
+    l11, inv11 = chol_and_inv(d[:, :h, :h], base)
+    a21 = _mm(d[:, h:, :h], jnp.swapaxes(inv11, -1, -2))
+    s22 = d[:, h:, h:] - _mm(a21, jnp.swapaxes(a21, -1, -2))
+    l22 = chol_wide(s22, base)
+    zero = jnp.zeros((n, h, h), jnp.float32)
+    return jnp.concatenate([
+        jnp.concatenate([l11, zero], axis=2),
+        jnp.concatenate([a21, l22], axis=2),
+    ], axis=1)
+
+
 def cholesky_blocked(
     k: jnp.ndarray,
     block_size: int = 128,

@@ -530,6 +530,204 @@ def _gram_hist2_jit(l, times, mask, ls, var, block, nb, kernel, noise,
     return diag, sub[:, : r - nb] if r - nb > 0 else sub[:, :0]
 
 
+# ---------------------------------------------------------------------------
+# Deferred-column history kernels
+# ---------------------------------------------------------------------------
+#
+# The round-2 flow paid a full extra pass per column block: hist wrote the
+# raw panel ``sub`` to HBM, then ``col_writeback`` RE-READ it, applied the
+# diagonal block's ``ldi``, and wrote the final column.  But the transform
+# can ride the NEXT step's history kernel instead: step ``b`` needs column
+# block ``b-1`` as part of its history anyway, so it reads ``sub_prev``
+# (same bytes it would have read from L), applies ``ldi_prev`` on the MXU
+# in-register, uses the result for the history correction, and writes it
+# into L through ``input_output_aliases`` — the separate writeback pass
+# (and its ~350 MB sub re-read at T=1024 N=128) disappears.  The diagonal
+# block itself goes in via the tiny ``_writeback_diag_only`` DUS.
+
+def _make_defer_kernel(kfn, noise, with_gram: bool):
+    """Deferred-column hist kernel for step b >= 2 (o' = (b-1)*nb history
+    columns finalized in L; column block b-1 arrives as ``sub_prev``).
+
+    Grid ``(i, j)``; row tile j covers absolute rows ``(b+j)*nb``.  Every
+    iteration: ``colb = sub_prev[j] @ ldi_prev^T`` (the final column tile,
+    written to L at column block b-1), then
+    ``panel = K_tile - hist_L @ row_L^T - colb @ colb_row^T``
+    (j = 0 -> diag of block b, j > 0 -> raw sub of block b).
+    """
+    def kernel(*refs):
+        if with_gram:
+            (tr_ref, tc_ref, mr_ref, mc_ref, ls_ref, var_ref,
+             sub_ref, ldi_ref, cbrow_ref, hist_ref,
+             col_ref, diag_ref, subo_ref, row_scr) = refs
+        else:
+            (k_ref, sub_ref, ldi_ref, cbrow_ref, hist_ref,
+             col_ref, diag_ref, subo_ref, row_scr) = refs
+        j = pl.program_id(1)
+
+        # the history ROW block (rows of the diag tile) is exactly the j=0
+        # hist tile: latch it into persistent VMEM scratch (grid iterates
+        # j minor; scratch persists across grid steps) so the donated l
+        # needs no second (copy-forcing) input use
+        @pl.when(j == 0)
+        def _():
+            row_scr[...] = hist_ref[...]
+
+        colb = split_dot(
+            sub_ref[...], ldi_ref[...], (((2,), (2,)), ((0,), (0,))),
+        )
+        col_ref[...] = colb
+        if with_gram:
+            ktile = _gram_tile(
+                tr_ref[...], tc_ref[...], mr_ref[...], mc_ref[...],
+                ls_ref[:, :1], var_ref[:, :1], noise, kfn, j == 0,
+            )
+        else:
+            ktile = k_ref[...]
+        panel = (
+            ktile
+            - split_dot(
+                hist_ref[...], row_scr[...], (((2,), (2,)), ((0,), (0,))),
+            )
+            - split_dot(
+                colb, cbrow_ref[...], (((2,), (2,)), ((0,), (0,))),
+            )
+        )
+
+        @pl.when(j == 0)
+        def _():
+            diag_ref[...] = panel
+
+        @pl.when(j > 0)
+        def _():
+            subo_ref[...] = panel
+
+    return kernel
+
+
+def _defer_slab(o: int, n: int, nb: int) -> int:
+    # hist double-buffered + resident row (width o) + 7 nb x nb buffers
+    per_matrix = 4 * (3 * nb * o + 7 * nb * nb)
+    m = max(1, _SLAB_BYTES // max(per_matrix, 1))
+    while n % m != 0:
+        m -= 1
+    return m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block", "nb", "kernel", "noise", "interpret"),
+    donate_argnums=(0,),
+)
+def _gram_hist2_defer_jit(l, times, mask, ls, var, sub_prev, ldi_prev,
+                          colb_row, block, nb, kernel, noise, interpret):
+    from gpvae_tpu import kernels as kernels_lib
+
+    n, t = times.shape
+    assert t % nb == 0 and 2 <= block < t // nb
+    o = (block - 1) * nb              # finalized history width in L
+    r = t - block * nb                # rows of this panel (and of sub_prev)
+    assert sub_prev.shape[1] >= r, (sub_prev.shape, r)
+    m = _slab8(n, _defer_slab(o + nb, n, nb))
+    kfn = kernels_lib.get_kernel(kernel)
+    b = block
+    vec = pl.BlockSpec((m, nb), lambda i, j: (i, b + j))
+    vec0 = pl.BlockSpec((m, nb), lambda i, j: (i, b))
+    par = pl.BlockSpec((m, 128), lambda i, j: (i, 0))
+    tile = pl.BlockSpec((m, nb, nb), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+    pinned = pl.BlockSpec((m, nb, nb), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((m, nb, nb), lambda i, j: (i, b + j, b - 1),
+                            memory_space=pltpu.VMEM)
+    subo_spec = pl.BlockSpec(
+        (m, nb, nb), lambda i, j: (i, jnp.maximum(j - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        vec, vec0, vec, vec0, par, par,
+        tile,                                     # sub_prev row tile j
+        pinned,                                   # ldi_prev
+        pinned,                                   # colb_row
+        pl.BlockSpec((m, nb, o), lambda i, j: (i, b + j, 0),
+                     memory_space=pltpu.VMEM),    # hist_L
+    ]
+    lout, diag, sub = pl.pallas_call(
+        _make_defer_kernel(kfn, noise, with_gram=True),
+        grid=(n // m, r // nb),
+        in_specs=in_specs,
+        out_specs=(col_spec, pinned, subo_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, t, t), jnp.float32),
+            jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
+            jax.ShapeDtypeStruct((n, max(r - nb, nb), nb), jnp.float32),
+        ),
+        input_output_aliases={9: 0},   # l (hist input) -> column-updated l
+        scratch_shapes=[pltpu.VMEM((m, nb, o), jnp.float32)],
+        compiler_params=_vmem_params(m, nb, o + nb),
+        interpret=interpret,
+    )(times, times, mask, mask, ls, var,
+      sub_prev[:, :r], ldi_prev, colb_row, l)
+    return lout, diag, sub[:, : r - nb] if r - nb > 0 else sub[:, :0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "nb", "interpret"),
+    donate_argnums=(0,),
+)
+def _hist2_defer_jit(l, k, sub_prev, ldi_prev, colb_row, block, nb,
+                     interpret):
+    n, t, t_ = k.shape
+    assert t == t_ and t % nb == 0 and 2 <= block < t // nb
+    o = (block - 1) * nb
+    r = t - block * nb
+    m = _defer_slab(o + nb, n, nb)
+    b = block
+    tile = pl.BlockSpec((m, nb, nb), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+    pinned = pl.BlockSpec((m, nb, nb), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((m, nb, nb), lambda i, j: (i, b + j, b - 1),
+                            memory_space=pltpu.VMEM)
+    subo_spec = pl.BlockSpec(
+        (m, nb, nb), lambda i, j: (i, jnp.maximum(j - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        pl.BlockSpec((m, nb, nb), lambda i, j: (i, b + j, b),
+                     memory_space=pltpu.VMEM),    # K tile
+        tile, pinned, pinned,
+        pl.BlockSpec((m, nb, o), lambda i, j: (i, b + j, 0),
+                     memory_space=pltpu.VMEM),    # hist_L
+    ]
+    lout, diag, sub = pl.pallas_call(
+        _make_defer_kernel(None, 0.0, with_gram=False),
+        grid=(n // m, r // nb),
+        in_specs=in_specs,
+        out_specs=(col_spec, pinned, subo_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, t, t), jnp.float32),
+            jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
+            jax.ShapeDtypeStruct((n, max(r - nb, nb), nb), jnp.float32),
+        ),
+        input_output_aliases={4: 0},
+        scratch_shapes=[pltpu.VMEM((m, nb, o), jnp.float32)],
+        compiler_params=_vmem_params(m, nb, o + nb),
+        interpret=interpret,
+    )(k.astype(jnp.float32), sub_prev[:, :r], ldi_prev, colb_row, l)
+    return lout, diag, sub[:, : r - nb] if r - nb > 0 else sub[:, :0]
+
+
+def _colb_row(sub_prev, ldi_prev):
+    """First row tile of the deferred column: ``sub_prev[:, :nb] @ ldi^T``
+    — precomputed once per step (the kernel needs it at every grid j)."""
+    nb = ldi_prev.shape[-1]
+    return split_dot(
+        sub_prev[:, :nb], ldi_prev, (((2,), (2,)), ((0,), (0,))),
+        fast=False,
+    )
+
+
 def _make_gram_init_kernel(kfn, noise):
     def kernel(tr_ref, tc_ref, mr_ref, mc_ref, ls_ref, var_ref,
                ld_ref, ldi_ref, out_ref):
@@ -649,15 +847,28 @@ def cholesky_gram_inplace(
         return ld[:n_out, :t, :t]
     l = _gram_init_l_jit(times, mk, ls, var, ld, ld_inv, nb, kernel, noise,
                          False)
+    # Deferred-column flow: each step's kernel writes the PREVIOUS block's
+    # final column (sub_prev @ ldi_prev^T, aliased into l) while computing
+    # this block's panel — no separate writeback pass (see the
+    # deferred-column section above).  Diagonal blocks go in via the tiny
+    # DUS; the final block skips the never-consumed inverse (chol_wide).
+    sub_prev = ldi_prev = None
     for b in range(1, num_blocks):
-        diag, sub = _gram_hist2_jit(l, times, mk, ls, var, b, nb, kernel,
-                                    noise, False)
+        if sub_prev is None:
+            diag, sub = _gram_hist2_jit(l, times, mk, ls, var, b, nb,
+                                        kernel, noise, False)
+        else:
+            cbrow = _colb_row(sub_prev, ldi_prev)
+            l, diag, sub = _gram_hist2_defer_jit(
+                l, times, mk, ls, var, sub_prev, ldi_prev, cbrow,
+                b, nb, kernel, noise, False,
+            )
         if b == num_blocks - 1:
-            ld, _ = chol_lib.chol_and_inv(diag)
-            l = _writeback_diag_only(l, ld, b, nb)
+            ld = chol_lib.chol_wide(diag)
         else:
             ld, ldi = chol_lib.chol_and_inv(diag)
-            l = col_writeback(l, ld, ldi, sub, b, nb)
+            sub_prev, ldi_prev = sub, ldi
+        l = _writeback_diag_only(l, ld, b, nb)
     return l[:n_out, :t, :t]
 
 
@@ -691,16 +902,38 @@ def cholesky_inplace(k: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
     # measured 7.5x SLOWER (m <= 8 slabs are relayout-bound on the VPU).
     ld, ld_inv = chol_lib.chol_and_inv(k[:, :nb, :nb])
     l = init_l(k, ld, ld_inv, nb)
+    if _interpret():
+        # CPU/interpret: the proven non-deferred flow (each helper has its
+        # own XLA fallback); the deferred kernels are tested directly
+        for b in range(1, num_blocks):
+            if b == num_blocks - 1:
+                diag = hist_panel(l, k, b, nb)
+                ld = chol_lib.chol_wide(diag[:, :nb])
+                l = _writeback_diag_only(l, ld, b, nb)
+            else:
+                diag, sub = hist_panel_split(l, k, b, nb)
+                ld, ldi = chol_lib.chol_and_inv(diag)
+                l = col_writeback(l, ld, ldi, sub, b, nb)
+        return l[:, :t, :t]
+    # Deferred-column flow (see the deferred-column section above)
+    sub_prev = ldi_prev = None
     for b in range(1, num_blocks):
-        if b == num_blocks - 1:
-            # single diag block left: no sub-panel, no writeback kernel
-            diag = hist_panel(l, k, b, nb)
-            ld, _ = chol_lib.chol_and_inv(diag[:, :nb])
-            l = _writeback_diag_only(l, ld, b, nb)
+        if sub_prev is None:
+            if b == num_blocks - 1:
+                diag, sub = hist_panel(l, k, b, nb)[:, :nb], None
+            else:
+                diag, sub = hist_panel_split(l, k, b, nb)
         else:
-            diag, sub = hist_panel_split(l, k, b, nb)
+            cbrow = _colb_row(sub_prev, ldi_prev)
+            l, diag, sub = _hist2_defer_jit(
+                l, k, sub_prev, ldi_prev, cbrow, b, nb, False,
+            )
+        if b == num_blocks - 1:
+            ld = chol_lib.chol_wide(diag)
+        else:
             ld, ldi = chol_lib.chol_and_inv(diag)
-            l = col_writeback(l, ld, ldi, sub, b, nb)
+            sub_prev, ldi_prev = sub, ldi
+        l = _writeback_diag_only(l, ld, b, nb)
     return l[:, :t, :t]
 
 

@@ -20,6 +20,7 @@ ever touching HBM — the op is HBM-bandwidth-minimal: in ``times/mask/ls``
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -56,10 +57,13 @@ def _interpret() -> bool:
 # but ~3x less VPU element work — panel-step updates touch [r, 8, L]
 # instead of [T, T, L], trailing rank-8 updates run once per panel on the
 # shrinking Schur complement, and the inverse substitution contracts only
-# the rows that can be nonzero.  Defaults False until the Mosaic lowering
-# is validated + measured on the real chip (benchmarks/prof_lane.py A/Bs
-# both arms); both bodies are fp64-parity-tested in interpret mode.
-BLOCKED_LANE_BODY = False
+# the rows that can be nonzero.  Default ON: validated on the v5e chip
+# 2026-08-18 (benchmarks/prof_lane.py — lane64 chol+inv 0.108 vs 0.123 ms,
+# chol_and_inv(128) 0.418 vs 0.492 ms, fused T=256 1.84 vs 1.67 TF/s,
+# T=1024 10.74 vs 10.61; Mosaic lowers clean, logdets finite).  The env
+# override exists for A/B only; jit caches do NOT key on this flag, so
+# flip it in a fresh process (or jax.clear_caches()).
+BLOCKED_LANE_BODY = os.environ.get("GPVAE_BLOCKED_LANE_BODY", "1") == "1"
 _PANEL = 8
 
 
@@ -173,15 +177,19 @@ def _chol_inv_kernel_blocked(a_ref, l_ref, x_ref, pw=_PANEL):
     a_cur = a
     for p in range(t_pad // pw):
         base = p * pw
+        w = base + pw
         cols, ds = _panel_factor(a_cur, lv, base, pw)
         for jj in range(pw):
             j = base + jj
-            l_row = lv[j, : base + pw, :]                  # [base+pw, L]
+            l_row = lv[j, :w, :]                           # [w, L]
+            # X[i, c] = 0 for c > i, and i < w here, so the contraction
+            # and the row write stop at column w (cols > w stay at their
+            # zero init — bitwise what the full-width form produced)
             acc = jnp.sum(
-                l_row[:, None, :] * xv[: base + pw, :, :], axis=0
-            )                                              # [T, L]
-            onehot = (rows_t == j).astype(acc.dtype)
-            xv[j, :, :] = (onehot - acc) * ds[jj][None, :]
+                l_row[:, None, :] * xv[:w, :w, :], axis=0
+            )                                              # [w, L]
+            onehot = (rows_t[:w] == j).astype(acc.dtype)
+            xv[j, :w, :] = (onehot - acc) * ds[jj][None, :]
         if t_pad - base > pw:
             a_cur = _panel_trailing(a_cur, cols, pw)
 

@@ -248,3 +248,141 @@ def test_cholesky_inplace_gradient_matches_xla():
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(g_xla), rtol=2e-3, atol=2e-4
     )
+
+
+@pytest.mark.parametrize("blocked", [True, False])
+@pytest.mark.parametrize("t", [24, 48, 64])
+def test_lane_body_arms_vs_oracle(blocked, t):
+    """Both lane-kernel bodies (flat column recurrence vs the blocked
+    8-column-panel variant, BLOCKED_LANE_BODY) against the fp64 oracle —
+    factor AND fused inverse.  The flag is read at trace time and jit
+    caches do not key on it, so each arm clears the cache around the
+    toggle (benchmarks/prof_lane.py uses subprocesses for the same
+    reason)."""
+    from gpvae_tpu.ops import pallas_chol
+
+    rng = np.random.default_rng(7)
+    k = random_psd(rng, 5, t)
+    prev = pallas_chol.BLOCKED_LANE_BODY
+    pallas_chol.BLOCKED_LANE_BODY = blocked
+    jax.clear_caches()
+    try:
+        l, x = pallas_chol.chol_inv_small_batched(jnp.asarray(k, jnp.float32))
+        lf = pallas_chol.chol_small_batched(jnp.asarray(k, jnp.float32))
+    finally:
+        pallas_chol.BLOCKED_LANE_BODY = prev
+        jax.clear_caches()
+    want = np.linalg.cholesky(k)
+    np.testing.assert_allclose(np.asarray(l), want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lf), want, rtol=2e-4, atol=2e-4)
+    inv_want = np.linalg.inv(want)
+    scale = np.abs(inv_want).max()
+    assert np.abs(np.asarray(x) - inv_want).max() / scale < 5e-4
+
+
+def test_chol_wide_matches_chol_and_inv_factor():
+    """chol_wide (the inverse-free recursion for FINAL diagonal blocks)
+    produces the same factor values as chol_and_inv at every width."""
+    from gpvae_tpu.ops import chol as chol_lib
+
+    rng = np.random.default_rng(11)
+    for t in (64, 128, 256):
+        k = jnp.asarray(random_psd(rng, 3, t), jnp.float32)
+        l_wide = chol_lib.chol_wide(k)
+        l_full = chol_lib.chol_and_inv(k)[0]
+        np.testing.assert_array_equal(np.asarray(l_wide), np.asarray(l_full))
+        want = np.linalg.cholesky(np.asarray(k, np.float64))
+        err = np.abs(np.tril(np.asarray(l_wide)) - want).max()
+        assert err / np.abs(want).max() < 5e-4
+
+
+def _run_deferred_plain(k, nb):
+    from gpvae_tpu.ops import chol as chol_lib
+    from gpvae_tpu.ops import pallas_big
+
+    num_blocks = k.shape[-1] // nb
+    ld, ldi = chol_lib.chol_and_inv(k[:, :nb, :nb])
+    l = pallas_big.init_l(k, ld, ldi, nb)
+    sub_prev = ldi_prev = None
+    for b in range(1, num_blocks):
+        if sub_prev is None:
+            diag, sub = pallas_big.hist_panel_split(l, k, b, nb)
+        else:
+            cbrow = pallas_big._colb_row(sub_prev, ldi_prev)
+            l, diag, sub = pallas_big._hist2_defer_jit(
+                l, k, sub_prev, ldi_prev, cbrow, b, nb, True
+            )
+        if b == num_blocks - 1:
+            ld = chol_lib.chol_wide(diag)
+        else:
+            ld, ldi = chol_lib.chol_and_inv(diag)
+            sub_prev, ldi_prev = sub, ldi
+        l = pallas_big._writeback_diag_only(l, ld, b, nb)
+    return l
+
+
+def test_deferred_column_flow_vs_oracle():
+    """The deferred-column in-place flow (column writeback fused into the
+    next step's history kernel, aliased l) against the fp64 oracle —
+    num_blocks=4 exercises first/defer/final step shapes.  The driver takes
+    this path on TPU; here the kernels run in interpret mode directly."""
+    rng = np.random.default_rng(12)
+    nb, t = 64, 256
+    k = jnp.asarray(random_psd(rng, 4, t), jnp.float32)
+    l = np.asarray(_run_deferred_plain(k, nb))
+    want = np.linalg.cholesky(np.asarray(k, np.float64))
+    err = np.abs(np.tril(l) - want).max() / np.abs(want).max()
+    assert err < 5e-4, err
+
+
+def test_deferred_gram_flow_vs_oracle():
+    from gpvae_tpu.ops import chol as chol_lib
+    from gpvae_tpu.ops import pallas_big
+
+    rng = np.random.default_rng(13)
+    nb, t, n = 64, 256, 8
+    tt = np.sort(rng.uniform(0, 50, (n, t)), -1).astype(np.float32)
+    ls = jnp.full((n,), 5.0, jnp.float32)
+    var = jnp.ones((n,), jnp.float32)
+    mask = jnp.ones((n, t), jnp.float32)
+    kk = np.asarray(
+        kernels.gram(
+            jnp.asarray(tt), ls[:, None, None], noise=1e-2,
+            variance=var[:, None, None],
+        ),
+        np.float64,
+    )
+    want = np.linalg.cholesky(kk)
+    k00 = kernels.gram(
+        jnp.asarray(tt[:, :nb]), ls[:, None, None], noise=1e-2,
+        variance=var[:, None, None],
+    )
+    ld, ldi = chol_lib.chol_and_inv(k00)
+    lsb = jnp.broadcast_to(ls[:, None], (n, 128))
+    varb = jnp.broadcast_to(var[:, None], (n, 128))
+    l = pallas_big._gram_init_l_jit(
+        jnp.asarray(tt), mask, lsb, varb, ld, ldi, nb, "rbf", 1e-2, True
+    )
+    sub_prev = ldi_prev = None
+    for b in range(1, t // nb):
+        if sub_prev is None:
+            diag, sub = pallas_big._gram_hist2_jit(
+                l, jnp.asarray(tt), mask, lsb, varb, b, nb, "rbf", 1e-2,
+                True,
+            )
+        else:
+            cbrow = pallas_big._colb_row(sub_prev, ldi_prev)
+            l, diag, sub = pallas_big._gram_hist2_defer_jit(
+                l, jnp.asarray(tt), mask, lsb, varb, sub_prev, ldi_prev,
+                cbrow, b, nb, "rbf", 1e-2, True,
+            )
+        if b == t // nb - 1:
+            ld = chol_lib.chol_wide(diag)
+        else:
+            ld, ldi = chol_lib.chol_and_inv(diag)
+            sub_prev, ldi_prev = sub, ldi
+        l = pallas_big._writeback_diag_only(l, ld, b, nb)
+    err = np.abs(np.tril(np.asarray(l)) - want).max() / np.abs(want).max()
+    # cond(K) ~ 6.5e3 here; same fp32 error family as the non-deferred
+    # flow (1.6e-5 measured on identical inputs)
+    assert err < 2e-4, err
