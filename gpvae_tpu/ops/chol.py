@@ -102,6 +102,11 @@ def chol_and_inv(
             return pallas_chol.chol_inv_small_batched(d)
         l = _chol_diag_block(d)
         return l, pallas_tri.tri_inv_small_batched(l)
+    if nb == 128 and base == 64 and dispatch.on_tpu():
+        # fused-glue kernels: same arithmetic, no XLA-level batched
+        # matmuls or concat assemblies (each ~100-260 us of MXU-issue
+        # latency + HBM round-trip at N=512)
+        return pallas_chol.chol_and_inv_128(d)
     h = nb // 2
     l11, inv11 = chol_and_inv(d[:, :h, :h], base)
     a21 = _mm(d[:, h:, :h], jnp.swapaxes(inv11, -1, -2))
@@ -136,6 +141,8 @@ def chol_wide(d: jnp.ndarray, base: int | None = None) -> jnp.ndarray:
     d = jax.lax.optimization_barrier(d)
     if nb <= base or nb <= 8:
         return _chol_diag_block(d)
+    if nb == 128 and base == 64 and dispatch.on_tpu():
+        return pallas_chol.chol_128(d)
     h = nb // 2
     l11, inv11 = chol_and_inv(d[:, :h, :h], base)
     a21 = _mm(d[:, h:, :h], jnp.swapaxes(inv11, -1, -2))

@@ -43,6 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gpvae_tpu.ops import dispatch
 
+# Slab budget for the history/defer kernels' per-grid-step VMEM footprint.
+# Measured optimum: raising to 24 MB (m=8 at T=1024's widest history) LOST
+# ~8% at T=1024 and ~35% at T=256 — fewer, fatter grid steps pipeline worse
+# than many small double-buffered ones.  The init kernels use their own
+# larger budget (_INIT_SLAB_BYTES), where it measured 3x the other way.
 _SLAB_BYTES = 6 * 1024 * 1024
 
 # Module switch for the compensated 3-pass bf16 contractions in the
@@ -287,10 +292,50 @@ def _init_kernel(k_ref, ld_ref, ldi_ref, out_ref):
         out_ref[...] = jnp.zeros_like(out_ref)
 
 
+# L-init kernels: per-step footprint is small (a handful of nb x nb tiles),
+# so a much larger slab than the hist kernels' is both safe and necessary —
+# at m=8 the init pass measured 337 GB/s (grid-step overhead bound); bigger
+# slabs cut the grid-step count ~8x.
+_INIT_SLAB_BYTES = 24 * 1024 * 1024
+
+
+def _init_slab(n: int, nb: int) -> int:
+    per_matrix = 4 * nb * nb * 8  # out + k + ld + ldi, double-buffered
+    m = max(1, _INIT_SLAB_BYTES // per_matrix)
+    while n % m != 0:
+        m -= 1
+    return m
+
+
+def _init_vmem_params(m: int, nb: int) -> pltpu.CompilerParams:
+    need = 4 * m * nb * nb * 8 + 512 * 1024
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=max(16 * 1024 * 1024, int(need * 1.25)),
+    )
+
+
+def _init_out_map(nblk: int):
+    """Out index map that skips the strictly-lower-or-diagonal tiles of
+    columns > 0: every such tile is later overwritten (column c's lower
+    tiles by the deferred writeback at step c+1 / col_writeback, diag
+    tiles by ``_writeback_diag_only``), so writing their zeros is pure
+    wasted HBM bandwidth (~1/3 of the pass at T=1024).  Skipped grid steps
+    are redirected to the last diagonal tile — a sacrificial target that
+    the final diag writeback overwrites — and consecutive skips coalesce
+    into one flush (the out index only changes on real tiles)."""
+    q = nblk - 1
+
+    def out_map(i, c, j):
+        skip = (c > 0) & (j >= c)
+        return (i, jnp.where(skip, q, j), jnp.where(skip, q, c))
+
+    return out_map
+
+
 @functools.partial(jax.jit, static_argnames=("nb", "interpret"))
 def _init_l_jit(k, ld, ld_inv, nb, interpret):
     n, t, _ = k.shape
-    m = _wb_slab(n, nb)
+    m = _init_slab(n, nb)
     nblk = t // nb
     out = pl.pallas_call(
         _init_kernel,
@@ -309,9 +354,10 @@ def _init_l_jit(k, ld, ld_inv, nb, interpret):
             pl.BlockSpec((m, nb, nb), lambda i, c, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, nb, nb), lambda i, c, j: (i, j, c),
+        out_specs=pl.BlockSpec((m, nb, nb), _init_out_map(nblk),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, t, t), jnp.float32),
+        compiler_params=_init_vmem_params(m, nb),
         interpret=interpret,
     )(k.astype(jnp.float32), ld, ld_inv)
     return out
@@ -456,9 +502,9 @@ def _vmem_params(m: int, nb: int, o: int) -> pltpu.CompilerParams:
     at T=1024, block 7 (o=896) needs ~16.05 MB, 48 KB past the default
     16 MB scoped limit.  Size the limit from the actual double-buffered
     block footprints plus 25% headroom (v5e has 128 MB VMEM)."""
-    hist_row = 2 * 2 * nb * o          # hist + row, double-buffered
-    outs = 2 * 2 * nb * nb             # diag + sub outputs
-    need = 4 * m * (hist_row + outs) + 512 * 1024
+    hist_row = 3 * nb * o              # hist double-buffered + row scratch
+    tiles = 14 * nb * nb               # sub/ldi/col/diag/subo/cbrow + values
+    need = 4 * m * (hist_row + tiles) + 512 * 1024
     return pltpu.CompilerParams(
         vmem_limit_bytes=max(16 * 1024 * 1024, int(need * 1.25)),
     )
@@ -554,15 +600,20 @@ def _make_defer_kernel(kfn, noise, with_gram: bool):
     written to L at column block b-1), then
     ``panel = K_tile - hist_L @ row_L^T - colb @ colb_row^T``
     (j = 0 -> diag of block b, j > 0 -> raw sub of block b).
+    ``colb_row`` (the column's row block) is exactly the j = 0 ``colb``:
+    it is latched into persistent VMEM scratch at j = 0 rather than
+    precomputed at the XLA level — an XLA-level [N, nb, nb] batched
+    matmul measured ~120 us at N=128 from dispatch + HBM round-trip
+    alone, once per block step.
     """
     def kernel(*refs):
         if with_gram:
             (tr_ref, tc_ref, mr_ref, mc_ref, ls_ref, var_ref,
-             sub_ref, ldi_ref, cbrow_ref, hist_ref,
-             col_ref, diag_ref, subo_ref, row_scr) = refs
+             sub_ref, ldi_ref, hist_ref,
+             col_ref, diag_ref, subo_ref, row_scr, cbrow_scr) = refs
         else:
-            (k_ref, sub_ref, ldi_ref, cbrow_ref, hist_ref,
-             col_ref, diag_ref, subo_ref, row_scr) = refs
+            (k_ref, sub_ref, ldi_ref, hist_ref,
+             col_ref, diag_ref, subo_ref, row_scr, cbrow_scr) = refs
         j = pl.program_id(1)
 
         # the history ROW block (rows of the diag tile) is exactly the j=0
@@ -577,6 +628,13 @@ def _make_defer_kernel(kfn, noise, with_gram: bool):
             sub_ref[...], ldi_ref[...], (((2,), (2,)), ((0,), (0,))),
         )
         col_ref[...] = colb
+
+        # j=0's colb IS the column's row block: latch it (reading the
+        # scratch back immediately below is well-defined in-kernel)
+        @pl.when(j == 0)
+        def _():
+            cbrow_scr[...] = colb
+
         if with_gram:
             ktile = _gram_tile(
                 tr_ref[...], tc_ref[...], mr_ref[...], mc_ref[...],
@@ -590,7 +648,7 @@ def _make_defer_kernel(kfn, noise, with_gram: bool):
                 hist_ref[...], row_scr[...], (((2,), (2,)), ((0,), (0,))),
             )
             - split_dot(
-                colb, cbrow_ref[...], (((2,), (2,)), ((0,), (0,))),
+                colb, cbrow_scr[...], (((2,), (2,)), ((0,), (0,))),
             )
         )
 
@@ -620,7 +678,7 @@ def _defer_slab(o: int, n: int, nb: int) -> int:
     donate_argnums=(0,),
 )
 def _gram_hist2_defer_jit(l, times, mask, ls, var, sub_prev, ldi_prev,
-                          colb_row, block, nb, kernel, noise, interpret):
+                          block, nb, kernel, noise, interpret):
     from gpvae_tpu import kernels as kernels_lib
 
     n, t = times.shape
@@ -648,7 +706,6 @@ def _gram_hist2_defer_jit(l, times, mask, ls, var, sub_prev, ldi_prev,
         vec, vec0, vec, vec0, par, par,
         tile,                                     # sub_prev row tile j
         pinned,                                   # ldi_prev
-        pinned,                                   # colb_row
         pl.BlockSpec((m, nb, o), lambda i, j: (i, b + j, 0),
                      memory_space=pltpu.VMEM),    # hist_L
     ]
@@ -662,12 +719,13 @@ def _gram_hist2_defer_jit(l, times, mask, ls, var, sub_prev, ldi_prev,
             jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
             jax.ShapeDtypeStruct((n, max(r - nb, nb), nb), jnp.float32),
         ),
-        input_output_aliases={9: 0},   # l (hist input) -> column-updated l
-        scratch_shapes=[pltpu.VMEM((m, nb, o), jnp.float32)],
+        input_output_aliases={8: 0},   # l (hist input) -> column-updated l
+        scratch_shapes=[pltpu.VMEM((m, nb, o), jnp.float32),
+                        pltpu.VMEM((m, nb, nb), jnp.float32)],
         compiler_params=_vmem_params(m, nb, o + nb),
         interpret=interpret,
     )(times, times, mask, mask, ls, var,
-      sub_prev[:, :r], ldi_prev, colb_row, l)
+      sub_prev[:, :r], ldi_prev, l)
     return lout, diag, sub[:, : r - nb] if r - nb > 0 else sub[:, :0]
 
 
@@ -675,8 +733,7 @@ def _gram_hist2_defer_jit(l, times, mask, ls, var, sub_prev, ldi_prev,
     jax.jit, static_argnames=("block", "nb", "interpret"),
     donate_argnums=(0,),
 )
-def _hist2_defer_jit(l, k, sub_prev, ldi_prev, colb_row, block, nb,
-                     interpret):
+def _hist2_defer_jit(l, k, sub_prev, ldi_prev, block, nb, interpret):
     n, t, t_ = k.shape
     assert t == t_ and t % nb == 0 and 2 <= block < t // nb
     o = (block - 1) * nb
@@ -696,7 +753,7 @@ def _hist2_defer_jit(l, k, sub_prev, ldi_prev, colb_row, block, nb,
     in_specs = [
         pl.BlockSpec((m, nb, nb), lambda i, j: (i, b + j, b),
                      memory_space=pltpu.VMEM),    # K tile
-        tile, pinned, pinned,
+        tile, pinned,
         pl.BlockSpec((m, nb, o), lambda i, j: (i, b + j, 0),
                      memory_space=pltpu.VMEM),    # hist_L
     ]
@@ -710,22 +767,13 @@ def _hist2_defer_jit(l, k, sub_prev, ldi_prev, colb_row, block, nb,
             jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
             jax.ShapeDtypeStruct((n, max(r - nb, nb), nb), jnp.float32),
         ),
-        input_output_aliases={4: 0},
-        scratch_shapes=[pltpu.VMEM((m, nb, o), jnp.float32)],
+        input_output_aliases={3: 0},
+        scratch_shapes=[pltpu.VMEM((m, nb, o), jnp.float32),
+                        pltpu.VMEM((m, nb, nb), jnp.float32)],
         compiler_params=_vmem_params(m, nb, o + nb),
         interpret=interpret,
-    )(k.astype(jnp.float32), sub_prev[:, :r], ldi_prev, colb_row, l)
+    )(k.astype(jnp.float32), sub_prev[:, :r], ldi_prev, l)
     return lout, diag, sub[:, : r - nb] if r - nb > 0 else sub[:, :0]
-
-
-def _colb_row(sub_prev, ldi_prev):
-    """First row tile of the deferred column: ``sub_prev[:, :nb] @ ldi^T``
-    — precomputed once per step (the kernel needs it at every grid j)."""
-    nb = ldi_prev.shape[-1]
-    return split_dot(
-        sub_prev[:, :nb], ldi_prev, (((2,), (2,)), ((0,), (0,))),
-        fast=False,
-    )
 
 
 def _make_gram_init_kernel(kfn, noise):
@@ -763,7 +811,7 @@ def _gram_init_l_jit(times, mask, ls, var, ld, ld_inv, nb, kernel, noise,
     from gpvae_tpu import kernels as kernels_lib
 
     n, t = times.shape
-    m = _slab8(n, _wb_slab(n, nb))
+    m = _slab8(n, _init_slab(n, nb))
     nblk = t // nb
     kfn = kernels_lib.get_kernel(kernel)
     vec = pl.BlockSpec(
@@ -777,9 +825,10 @@ def _gram_init_l_jit(times, mask, ls, var, ld, ld_inv, nb, kernel, noise,
         _make_gram_init_kernel(kfn, noise),
         grid=(n // m, nblk, nblk),
         in_specs=[vec, vec0, vec, vec0, par, par, mat0, mat0],
-        out_specs=pl.BlockSpec((m, nb, nb), lambda i, c, j: (i, j, c),
+        out_specs=pl.BlockSpec((m, nb, nb), _init_out_map(nblk),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, t, t), jnp.float32),
+        compiler_params=_init_vmem_params(m, nb),
         interpret=interpret,
     )(times, times, mask, mask, ls, var, ld, ld_inv)
     return out
@@ -858,9 +907,8 @@ def cholesky_gram_inplace(
             diag, sub = _gram_hist2_jit(l, times, mk, ls, var, b, nb,
                                         kernel, noise, False)
         else:
-            cbrow = _colb_row(sub_prev, ldi_prev)
             l, diag, sub = _gram_hist2_defer_jit(
-                l, times, mk, ls, var, sub_prev, ldi_prev, cbrow,
+                l, times, mk, ls, var, sub_prev, ldi_prev,
                 b, nb, kernel, noise, False,
             )
         if b == num_blocks - 1:
@@ -924,9 +972,8 @@ def cholesky_inplace(k: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
             else:
                 diag, sub = hist_panel_split(l, k, b, nb)
         else:
-            cbrow = _colb_row(sub_prev, ldi_prev)
             l, diag, sub = _hist2_defer_jit(
-                l, k, sub_prev, ldi_prev, cbrow, b, nb, False,
+                l, k, sub_prev, ldi_prev, b, nb, False,
             )
         if b == num_blocks - 1:
             ld = chol_lib.chol_wide(diag)

@@ -319,6 +319,182 @@ def _chol_inv_small_batched_jit(
 
 
 # ---------------------------------------------------------------------------
+# Fused 128-wide recursion glue
+# ---------------------------------------------------------------------------
+#
+# ``chol.chol_and_inv`` builds 128-wide diagonal blocks from the 64-wide
+# lane kernels via a Schur-complement split.  At the XLA level each glue
+# step is a batched [N, 64, 64] matmul — measured ~260 us at N=512 on v5e
+# (MXU-issue-latency bound: 512 tiny matmuls x 6 HIGHEST passes, each a
+# full HBM round-trip) — plus two [N, 128, 128] concat assemblies (~106 us).
+# The kernels below run the same arithmetic inside Pallas: per matrix-slab
+# the dots issue back-to-back from VMEM with no per-op dispatch or HBM
+# round-trips, and the assembly is a single fused write pass.
+
+def _schur64_kernel(d_ref, i11_ref, a21_ref, s22_ref):
+    d = d_ref[...]
+    a21 = jax.lax.dot_general(
+        d[:, 64:, :64], i11_ref[...], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    a21_ref[...] = a21
+    s22_ref[...] = d[:, 64:, 64:] - jax.lax.dot_general(
+        a21, a21, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _slab_div(n: int, budget: int) -> int:
+    m = max(1, min(n, budget))
+    while n % m != 0:
+        m -= 1
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _schur64_jit(d, i11, interpret):
+    n = d.shape[0]
+    m = _slab_div(n, 64)
+    half = pl.BlockSpec((m, 64, 64), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _schur64_kernel,
+        grid=(n // m,),
+        in_specs=[
+            pl.BlockSpec((m, 128, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            half,
+        ],
+        out_specs=(half, half),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 64, 64), jnp.float32),
+            jax.ShapeDtypeStruct((n, 64, 64), jnp.float32),
+        ),
+        interpret=interpret,
+    )(d.astype(jnp.float32), i11)
+
+
+def _assemble128_kernel(l11_ref, a21_ref, l22_ref, i11_ref, i22_ref,
+                        l_ref, inv_ref):
+    zero = jnp.zeros_like(l11_ref[...])
+    a21 = a21_ref[...]
+    i11 = i11_ref[...]
+    i22 = i22_ref[...]
+
+    def cat(tl, bl, br):
+        return jnp.concatenate([
+            jnp.concatenate([tl, zero], axis=2),
+            jnp.concatenate([bl, br], axis=2),
+        ], axis=1)
+
+    l_ref[...] = cat(l11_ref[...], a21, l22_ref[...])
+    t1 = jax.lax.dot_general(
+        a21, i11, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    inv21 = -jax.lax.dot_general(
+        i22, t1, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    inv_ref[...] = cat(i11, inv21, i22)
+
+
+def _assemble128_l_kernel(l11_ref, a21_ref, l22_ref, l_ref):
+    zero = jnp.zeros_like(l11_ref[...])
+    l_ref[...] = jnp.concatenate([
+        jnp.concatenate([l11_ref[...], zero], axis=2),
+        jnp.concatenate([a21_ref[...], l22_ref[...]], axis=2),
+    ], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _assemble128_jit(l11, a21, l22, i11, i22, interpret):
+    n = l11.shape[0]
+    m = _slab_div(n, 32)
+    half = pl.BlockSpec((m, 64, 64), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((m, 128, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _assemble128_kernel,
+        grid=(n // m,),
+        in_specs=[half] * 5,
+        out_specs=(full, full),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n, 128, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(l11, a21, l22, i11, i22)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _assemble128_l_jit(l11, a21, l22, interpret):
+    n = l11.shape[0]
+    m = _slab_div(n, 32)
+    half = pl.BlockSpec((m, 64, 64), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((m, 128, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _assemble128_l_kernel,
+        grid=(n // m,),
+        in_specs=[half] * 3,
+        out_specs=full,
+        out_shape=jax.ShapeDtypeStruct((n, 128, 128), jnp.float32),
+        interpret=interpret,
+    )(l11, a21, l22)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _slice11_jit(d, interpret):
+    """Packed copy of ``d[:, :64, :64]`` — a bare XLA strided slice fuses
+    into the lane-layout transpose with a measured 15x penalty."""
+    n = d.shape[0]
+    m = _slab_div(n, 64)
+    return pl.pallas_call(
+        lambda d_ref, o_ref: o_ref.__setitem__(
+            (Ellipsis,), d_ref[:, :64, :64]
+        ),
+        grid=(n // m,),
+        in_specs=[pl.BlockSpec((m, 128, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((m, 64, 64), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 64, 64), jnp.float32),
+        interpret=interpret,
+    )(d.astype(jnp.float32))
+
+
+def chol_and_inv_128(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(L, L^{-1}) of batched PSD ``d [N, 128, 128]`` with the recursion
+    glue fused into Pallas kernels (TPU only; callers fall back to the
+    XLA recursion elsewhere).  Same arithmetic as ``chol.chol_and_inv``:
+    L11/A21/S22/L22 chain + inv21 = -i22 (a21 i11)."""
+    assert d.shape[-1] == 128 and not _interpret()
+    d11 = _slice11_jit(d, False)
+    l11, i11 = chol_inv_small_batched(d11)
+    a21, s22 = _schur64_jit(d, i11, False)
+    l22, i22 = chol_inv_small_batched(s22)
+    return _assemble128_jit(l11, a21, l22, i11, i22, False)
+
+
+def chol_128(d: jnp.ndarray) -> jnp.ndarray:
+    """``L`` of batched PSD ``d [N, 128, 128]`` — :func:`chol_and_inv_128`
+    without the inverse assembly (final diagonal blocks)."""
+    assert d.shape[-1] == 128 and not _interpret()
+    d11 = _slice11_jit(d, False)
+    l11, i11 = chol_inv_small_batched(d11)
+    a21, s22 = _schur64_jit(d, i11, False)
+    l22 = chol_small_batched(s22)
+    return _assemble128_l_jit(l11, a21, l22, False)
+
+
+# ---------------------------------------------------------------------------
 # Fused gram construction + Cholesky
 # ---------------------------------------------------------------------------
 

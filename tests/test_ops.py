@@ -308,9 +308,8 @@ def _run_deferred_plain(k, nb):
         if sub_prev is None:
             diag, sub = pallas_big.hist_panel_split(l, k, b, nb)
         else:
-            cbrow = pallas_big._colb_row(sub_prev, ldi_prev)
             l, diag, sub = pallas_big._hist2_defer_jit(
-                l, k, sub_prev, ldi_prev, cbrow, b, nb, True
+                l, k, sub_prev, ldi_prev, b, nb, True
             )
         if b == num_blocks - 1:
             ld = chol_lib.chol_wide(diag)
@@ -371,10 +370,9 @@ def test_deferred_gram_flow_vs_oracle():
                 True,
             )
         else:
-            cbrow = pallas_big._colb_row(sub_prev, ldi_prev)
             l, diag, sub = pallas_big._gram_hist2_defer_jit(
                 l, jnp.asarray(tt), mask, lsb, varb, sub_prev, ldi_prev,
-                cbrow, b, nb, "rbf", 1e-2, True,
+                b, nb, "rbf", 1e-2, True,
             )
         if b == t // nb - 1:
             ld = chol_lib.chol_wide(diag)
