@@ -232,67 +232,62 @@ def time_train_conv(t: int = 20, batch: int = 5, n_stack: int = 10,
     return n_stack / dt_chunk
 
 
-def time_cholesky(t: int, n: int, reps: int = 10, inner: int | None = None,
+def time_cholesky(t: int, n: int, reps: int = 6, inner: int | None = None,
                   verbose: bool = False) -> float:
     """Batched Cholesky+logdet TFLOP/s at size t (the BASELINE metric).
 
     Inputs are RBF grams built on device (the framework's actual workload;
     host-side PSD generation at these sizes costs minutes of numpy matmul).
 
-    Round-3 methodology fix (VERDICT r2): the old loop rescaled the full
-    gram bank and summed the entire factor *inside* the timed region —
-    ~2.5 extra full-bank HBM passes per iteration, which at T=256 roughly
-    doubled the measured time.  Now the timed iteration is exactly the op:
-    several *distinct* pre-staged banks (CSE-proof) are factored in an
-    unrolled chain serialized through ``optimization_barrier`` (hoist- and
-    overlap-proof, aliasing so no input copy); the factor is forced to
-    materialize with a barrier (production consumers read it) and then only
-    its O(N*T) log-diagonal is consumed.
+    Round-3 methodology fixes (VERDICT r2 + session measurements):
+    (1) the old loop rescaled the full gram bank and summed the entire
+    factor *inside* the timed region — ~2.5 extra full-bank HBM passes per
+    iteration; now the timed iteration is exactly the op, with the factor
+    forced to materialize by a barrier and only its O(N*T) log-diagonal
+    consumed.  (2) each host sync must cover >=300 ms of device work: the
+    axon tunnel's roundtrip latency varies 26-44 ms *between* calls, so a
+    16-iteration loop put +-0.5 ms/op of latency-estimate error on a
+    ~1.3 ms op (this is exactly the r02 T=256 "regression").  The
+    ``optimization_barrier((k, acc))`` chain makes each iteration's input
+    data-dependent on the previous result — hoist-, CSE- and overlap-proof.
     """
     import jax
     import jax.numpy as jnp
     from gpvae_tpu import kernels as kernels_lib
     from gpvae_tpu.ops import chol_logdet
 
-    copies = 4 if t <= 512 else 2
     if inner is None:
-        # unrolled factorizations per timed call: enough device work to
-        # dwarf the tunnel-latency jitter, bounded compile time at large T
-        inner = 16 if t <= 512 else 8
-    repeats = max(1, inner // copies)
+        # >= ~300 ms of device work per host sync (see docstring)
+        inner = 256 if t <= 512 else 96
     rng = np.random.default_rng(1)
     times = jnp.asarray(
-        np.sort(rng.uniform(0, t, (copies, n, t)), -1).astype(np.float32)
+        np.sort(rng.uniform(0, t, (n, t)), -1).astype(np.float32)
     )
     kd = jax.jit(
-        jax.vmap(
-            lambda tt: kernels_lib.gram_bank(
-                tt, jnp.array([5.0], jnp.float32), noise=1e-2
-            )[:, 0]
-        )
+        lambda tt: kernels_lib.gram_bank(
+            tt, jnp.array([5.0], jnp.float32), noise=1e-2
+        )[:, 0]
     )(times)
     float(jnp.sum(kd[0, 0]))  # settle (block_until_ready does not sync)
 
     @jax.jit
     def run(kd):
-        acc = jnp.float32(0.0)
-        for _ in range(repeats):
-            for c in range(copies):
-                k, _ = jax.lax.optimization_barrier((kd[c], acc))
-                l, ld = chol_logdet(k)
-                # the logdet is the production fused consume (it reads the
-                # factor diagonal through the Pallas tile kernel); barrier
-                # + an O(T) read force the full factor to materialize
-                l = jax.lax.optimization_barrier(l)
-                acc = acc + ld.sum() + jnp.sum(l[..., 0, :1])
-        return acc
+        def body(_, acc):
+            k, _a = jax.lax.optimization_barrier((kd, acc))
+            l, ld = chol_logdet(k)
+            # the logdet is the production fused consume (it reads the
+            # factor diagonal through the Pallas tile kernel); barrier
+            # + an O(T) read force the full factor to materialize
+            l = jax.lax.optimization_barrier(l)
+            return acc + ld.sum() + jnp.sum(l[..., 0, :1])
+        return jax.lax.fori_loop(0, inner, body, jnp.float32(0.0))
 
     t0 = time.perf_counter()
     float(run(kd))
     if verbose:
         print(f"[bench] chol T={t} compile+warm {time.perf_counter()-t0:.1f}s",
               flush=True)
-    dt = timed_median(lambda: run(kd), reps) / (repeats * copies)
+    dt = timed_median(lambda: run(kd), reps) / inner
     return n * (t ** 3) / 3.0 / dt / 1e12
 
 
@@ -309,7 +304,8 @@ def time_cholesky_fused(t: int, n: int, reps: int = 6, inner: int | None = None,
     from gpvae_tpu.ops.logdet import logdet_from_chol
 
     if inner is None:
-        inner = 48 if t <= 512 else 16
+        # >= ~300 ms of device work per host sync (see time_cholesky)
+        inner = 256 if t <= 512 else 96
     rng = np.random.default_rng(1)
     times = jnp.asarray(
         np.sort(rng.uniform(0, t, (n, t)), -1).astype(np.float32)

@@ -386,14 +386,15 @@ def cholesky_blocked_fused(
     return l[:, :t, :t]
 
 
-# measured crossovers on v5e (saturated device-looped fori_loop timing
-# with an O(T) consume — the round-2 numbers in docs/DESIGN.md were taken
-# with a short inner loop and a full-diagonal gather consume and are not
-# comparable; round-3 methodology, 2026-08-17):
-#   T=256  N=512: fused 1.41 | right 1.42 | left-streamed 1.44 (all ~par)
-#   T=1024 N=128: inplace 8.4 | left-streamed 7.3 | fused 3.5 | right 2.7
-FUSED_MAX_T = 511          # below: streaming fused kernel
-LEFT_LOOKING_MIN_T = 768   # above: in-place left-looking; between: right
+# measured crossovers on v5e (saturated device-looped fori_loop timing,
+# >=300 ms device work per host sync — shorter loops are polluted by the
+# 26-44 ms tunnel-latency estimate, +-0.5 ms/op at inner=12; 2026-08-18,
+# after the Pallas-fused 128-wide glue kernels):
+#   T=256  N=512: streamed 1.37 | blocked 1.50 | inplace 1.50 | fused 1.53
+#   T=512  N=256: streamed 2.25 | blocked 2.72 | fused 2.80 | inplace 2.93
+#   T=1024 N=128: streamed 4.42 | inplace 4.45 | blocked 6.40 | fused 6.97
+FUSED_MAX_T = 511          # (blocked_fused: best below this pre-glue only)
+LEFT_LOOKING_MIN_T = 768   # above: in-place left-looking; below: streamed
 
 
 def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
@@ -403,10 +404,8 @@ def _cholesky_fwd_impl(k: jnp.ndarray, method: str) -> jnp.ndarray:
         if dispatch.on_tpu():
             if t <= pallas_chol.LANE_BATCH_MAX_T:
                 method = "pallas"
-            elif t <= FUSED_MAX_T:
-                method = "blocked_fused"
             elif t < LEFT_LOOKING_MIN_T:
-                method = "blocked"
+                method = "blocked_left_streamed"
             else:
                 method = "blocked_inplace"
         else:

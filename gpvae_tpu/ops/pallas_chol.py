@@ -353,10 +353,19 @@ def _slab_div(n: int, budget: int) -> int:
     return m
 
 
+def _glue_params(bytes_per_m: int, m: int) -> pltpu.CompilerParams:
+    # explicit scoped-VMEM limit: at N=512 the default 16 MB limit is
+    # within 0.2% of the assembly kernel's footprint and OOMs inside
+    # while-loop contexts (measured: "16.02M vs 16.00M")
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=max(16 * 1024 * 1024, int(bytes_per_m * m * 1.5)),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _schur64_jit(d, i11, interpret):
     n = d.shape[0]
-    m = _slab_div(n, 64)
+    m = _slab_div(n, 32)
     half = pl.BlockSpec((m, 64, 64), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -372,6 +381,7 @@ def _schur64_jit(d, i11, interpret):
             jax.ShapeDtypeStruct((n, 64, 64), jnp.float32),
             jax.ShapeDtypeStruct((n, 64, 64), jnp.float32),
         ),
+        compiler_params=_glue_params(4 * (2 * 128 * 128 + 4 * 64 * 64), m),
         interpret=interpret,
     )(d.astype(jnp.float32), i11)
 
@@ -414,7 +424,7 @@ def _assemble128_l_kernel(l11_ref, a21_ref, l22_ref, l_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _assemble128_jit(l11, a21, l22, i11, i22, interpret):
     n = l11.shape[0]
-    m = _slab_div(n, 32)
+    m = _slab_div(n, 16)
     half = pl.BlockSpec((m, 64, 64), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     full = pl.BlockSpec((m, 128, 128), lambda i: (i, 0, 0),
@@ -428,6 +438,9 @@ def _assemble128_jit(l11, a21, l22, i11, i22, interpret):
             jax.ShapeDtypeStruct((n, 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((n, 128, 128), jnp.float32),
         ),
+        compiler_params=_glue_params(
+            4 * (2 * 5 * 64 * 64 + 2 * 2 * 128 * 128 + 2 * 128 * 128), m
+        ),
         interpret=interpret,
     )(l11, a21, l22, i11, i22)
 
@@ -435,7 +448,7 @@ def _assemble128_jit(l11, a21, l22, i11, i22, interpret):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _assemble128_l_jit(l11, a21, l22, interpret):
     n = l11.shape[0]
-    m = _slab_div(n, 32)
+    m = _slab_div(n, 16)
     half = pl.BlockSpec((m, 64, 64), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     full = pl.BlockSpec((m, 128, 128), lambda i: (i, 0, 0),
@@ -446,6 +459,9 @@ def _assemble128_l_jit(l11, a21, l22, interpret):
         in_specs=[half] * 3,
         out_specs=full,
         out_shape=jax.ShapeDtypeStruct((n, 128, 128), jnp.float32),
+        compiler_params=_glue_params(
+            4 * (2 * 3 * 64 * 64 + 2 * 128 * 128 + 128 * 128), m
+        ),
         interpret=interpret,
     )(l11, a21, l22)
 
@@ -466,6 +482,7 @@ def _slice11_jit(d, interpret):
         out_specs=pl.BlockSpec((m, 64, 64), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 64, 64), jnp.float32),
+        compiler_params=_glue_params(4 * (2 * 128 * 128 + 2 * 64 * 64), m),
         interpret=interpret,
     )(d.astype(jnp.float32))
 
