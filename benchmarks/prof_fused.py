@@ -38,10 +38,11 @@ def main():
     mk = jnp.ones((n, t), jnp.float32)
     noise = 1e-2
 
-    l_full = jnp.asarray(np.asarray(
-        pallas_big.cholesky_gram_inplace(times, ls, None, var, noise=noise,
-                                         nb=nb)
-    ))
+    # eager ops produce materialized (packed) device buffers — no host
+    # round-trip needed (np.asarray of a [128,1024,1024] bank through the
+    # tunnel costs minutes)
+    l_full = pallas_big.cholesky_gram_inplace(times, ls, None, var,
+                                              noise=noise, nb=nb)
     k00 = kernels_lib.gram(
         times[:, :nb], ls[:, None, None], noise=noise,
         variance=var[:, None, None],
@@ -49,20 +50,14 @@ def main():
     ld0, ldi0 = chol.chol_and_inv(k00)
     float(jnp.sum(l_full) + jnp.sum(ld0))
 
-    z = jnp.ones((8, 128), jnp.float32)
-    tiny = jax.jit(jnp.sum)
-    float(tiny(z))
-    lat = statistics.median(
-        [
-            (lambda t0: (float(tiny(z)), time.perf_counter() - t0)[1])(
-                time.perf_counter()
-            )
-            for _ in range(7)
-        ]
-    )
-    print(f"T={t} N={n} nb={nb}   lat {lat * 1e3:.1f} ms")
+    # nominal tunnel latency; each timed sync covers >= ~300 ms of device
+    # work so the 26-44 ms per-call variance contributes < 3 us/op
+    lat = 0.030
+    print(f"T={t} N={n} nb={nb}   (saturated loops, nominal lat 30 ms)")
 
-    def bench(fn, args, label, inner=32, reps=3, scale=1):
+    def bench(fn, args, label, inner=None, reps=3, scale=1):
+        if inner is None:
+            inner = 768 if t <= 256 else (384 if t <= 512 else 128)
         @jax.jit
         def run(*args):
             def body(_, acc):
@@ -97,22 +92,20 @@ def main():
         print(f"single block; total ~ {total * 1e3:.2f} ms")
         return
     total += bench(
-        lambda tt: pallas_big._gram_init_l_jit(
-            tt, mk, lsb, varb, ld0, ldi0, nb, "rbf", noise, False),
-        (times,), "gram_init_l",
+        lambda tt: pallas_big._gram_init0_jit(ld0, t, nb, False),
+        (times,), "gram_init0",
     )
-    # step b=1 is the non-deferred hist2
+    # step b=1: column 0 deferred from in-kernel gram tiles
     total += bench(
-        lambda l: pallas_big._gram_hist2_jit(
-            l, times, mk, lsb, varb, 1, nb, "rbf", noise, False),
-        (l_full,), "gram_hist2 b=1",
+        lambda l: pallas_big._gram_defer1_jit(
+            l.copy(), times, mk, lsb, varb, ldi0, nb, "rbf", noise, False),
+        (l_full,), "defer1 (+l copy)",
     )
     # deferred steps b=2..nblocks-1
     for b in range(2, nblocks):
         r = t - b * nb
-        sub_prev = jnp.asarray(
-            np.asarray(l_full[:, (b - 1) * nb + nb:, :nb])
-        )  # stand-in with the right [n, r, nb] shape
+        # eager slice = materialized packed buffer with the right shape
+        sub_prev = l_full[:, (b - 1) * nb + nb:, :nb]
         total += bench(
             lambda l, b=b, sp=sub_prev:
                 pallas_big._gram_hist2_defer_jit(
@@ -138,7 +131,8 @@ def main():
     whole = bench(
         lambda tt: pallas_big.cholesky_gram_inplace(
             tt, ls, None, var, noise=noise, nb=nb),
-        (times,), "WHOLE cholesky_gram_inplace", inner=16,
+        (times,), "WHOLE cholesky_gram_inplace",
+        inner=256 if t <= 512 else 96,
     )
     tf = n * t ** 3 / 3.0 / whole / 1e12
     print(f"whole op {whole * 1e3:.3f} ms  -> {tf:.2f} TF/s (chol flops)")

@@ -5,8 +5,9 @@ docs/DESIGN.md "round 3"):
 
 * **in-place column writeback** — the column block ``[Ld; X]`` is written
   straight into the L buffer through ``input_output_aliases`` (no x temp,
-  no dynamic_update_slice copy), and L is born from a single fused
-  zeros+column-0 write pass (``init_l``);
+  no dynamic_update_slice copy); in the fused-gram flow L is born writing
+  only the (0, 0) tile and the upper-triangle zeros (``_gram_init0_jit``)
+  and column 0 itself rides the b=1 deferred kernel (``_gram_defer1_jit``);
 * **fused gram construction** (``cholesky_gram_inplace``) — every K tile
   is built in-kernel from the O(N*T) time vectors with exact
   ``kernels.gram`` semantics, so the [N, T, T] gram never exists in HBM:
@@ -35,6 +36,7 @@ max_time=1000 attempt; SURVEY.md §5 long-context).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +50,9 @@ from gpvae_tpu.ops import dispatch
 # ~8% at T=1024 and ~35% at T=256 — fewer, fatter grid steps pipeline worse
 # than many small double-buffered ones.  The init kernels use their own
 # larger budget (_INIT_SLAB_BYTES), where it measured 3x the other way.
-_SLAB_BYTES = 6 * 1024 * 1024
+# Env overrides are for A/B tuning only (jit caches do not re-key on them;
+# set in a fresh process).
+_SLAB_BYTES = int(os.environ.get("GPVAE_HIST_SLAB_MB", "6")) * 1024 * 1024
 
 # Module switch for the compensated 3-pass bf16 contractions in the
 # large-T blocked paths.  False -> precision=HIGHEST everywhere.
@@ -296,7 +300,9 @@ def _init_kernel(k_ref, ld_ref, ldi_ref, out_ref):
 # so a much larger slab than the hist kernels' is both safe and necessary —
 # at m=8 the init pass measured 337 GB/s (grid-step overhead bound); bigger
 # slabs cut the grid-step count ~8x.
-_INIT_SLAB_BYTES = 24 * 1024 * 1024
+_INIT_SLAB_BYTES = (
+    int(os.environ.get("GPVAE_INIT_SLAB_MB", "24")) * 1024 * 1024
+)
 
 
 def _init_slab(n: int, nb: int) -> int:
@@ -510,72 +516,6 @@ def _vmem_params(m: int, nb: int, o: int) -> pltpu.CompilerParams:
     )
 
 
-def _make_gram_hist2_kernel(kfn, noise):
-    def kernel(tr_ref, tc_ref, mr_ref, mc_ref, ls_ref, var_ref,
-               hist_ref, row_ref, diag_ref, sub_ref):
-        j = pl.program_id(1)
-        ktile = _gram_tile(
-            tr_ref[...], tc_ref[...], mr_ref[...], mc_ref[...],
-            ls_ref[:, :1], var_ref[:, :1], noise, kfn, j == 0,
-        )
-        panel = ktile - split_dot(
-            hist_ref[...], row_ref[...], (((2,), (2,)), ((0,), (0,))),
-        )
-
-        @pl.when(j == 0)
-        def _():
-            diag_ref[...] = panel
-
-        @pl.when(j > 0)
-        def _():
-            sub_ref[...] = panel
-
-    return kernel
-
-
-@functools.partial(
-    jax.jit, static_argnames=("block", "nb", "kernel", "noise", "interpret")
-)
-def _gram_hist2_jit(l, times, mask, ls, var, block, nb, kernel, noise,
-                    interpret):
-    from gpvae_tpu import kernels as kernels_lib
-
-    n, t = times.shape
-    assert t % nb == 0 and 1 <= block < t // nb
-    o = block * nb
-    r = t - o
-    m = _slab8(n, _hist_slab(o, n, nb))
-    kfn = kernels_lib.get_kernel(kernel)
-    vec = pl.BlockSpec((m, nb), lambda i, j, b=block: (i, b + j))
-    vec0 = pl.BlockSpec((m, nb), lambda i, j, b=block: (i, b))
-    par = pl.BlockSpec((m, 128), lambda i, j: (i, 0))
-    pinned = pl.BlockSpec((m, nb, nb), lambda i, j: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
-    sub_spec = pl.BlockSpec(
-        (m, nb, nb), lambda i, j: (i, jnp.maximum(j - 1, 0), 0),
-        memory_space=pltpu.VMEM,
-    )
-    diag, sub = pl.pallas_call(
-        _make_gram_hist2_kernel(kfn, noise),
-        grid=(n // m, r // nb),
-        in_specs=[
-            vec, vec0, vec, vec0, par, par,
-            pl.BlockSpec((m, nb, o), lambda i, j, b=block: (i, b + j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, nb, o), lambda i, j, b=block: (i, b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(pinned, sub_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
-            jax.ShapeDtypeStruct((n, max(r - nb, nb), nb), jnp.float32),
-        ),
-        compiler_params=_vmem_params(m, nb, o),
-        interpret=interpret,
-    )(times, times, mask, mask, ls, var, l, l)
-    return diag, sub[:, : r - nb] if r - nb > 0 else sub[:, :0]
-
-
 # ---------------------------------------------------------------------------
 # Deferred-column history kernels
 # ---------------------------------------------------------------------------
@@ -776,62 +716,149 @@ def _hist2_defer_jit(l, k, sub_prev, ldi_prev, block, nb, interpret):
     return lout, diag, sub[:, : r - nb] if r - nb > 0 else sub[:, :0]
 
 
-def _make_gram_init_kernel(kfn, noise):
-    def kernel(tr_ref, tc_ref, mr_ref, mc_ref, ls_ref, var_ref,
-               ld_ref, ldi_ref, out_ref):
-        c = pl.program_id(1)
-        j = pl.program_id(2)
+def _gram_init0_kernel(ld_ref, out_ref):
+    """Upper-zeros + L[0:nb, 0:nb] = Ld init: column 0's sub-diagonal
+    tiles are NOT written here — they ride the b=1 deferred kernel
+    (``_gram_defer1_jit``) exactly like every later column rides step
+    b+1, so the only real writes are the diagonal tile and the
+    upper-triangle zeros."""
+    c = pl.program_id(1)
+    j = pl.program_id(2)
 
-        @pl.when((c == 0) & (j == 0))
-        def _():
-            out_ref[...] = ld_ref[...]
+    @pl.when((c == 0) & (j == 0))
+    def _():
+        out_ref[...] = ld_ref[...]
 
-        @pl.when((c == 0) & (j > 0))
-        def _():
-            ktile = _gram_tile(
-                tr_ref[...], tc_ref[...], mr_ref[...], mc_ref[...],
-                ls_ref[:, :1], var_ref[:, :1], noise, kfn, False,
-            )
-            out_ref[...] = split_dot(
-                ktile, ldi_ref[...], (((2,), (2,)), ((0,), (0,))),
-            )
+    @pl.when((c > 0) | (j > 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-        @pl.when(c > 0)
+
+def _init0_out_map(nblk: int):
+    """Out map keeping only the (0, 0) diagonal tile and the
+    upper-triangle zero tiles; everything else (column 0's sub-diagonal
+    via the b=1 deferred kernel, later columns via steps b+1, diagonal
+    blocks via the DUS) is overwritten downstream — see
+    :func:`_init_out_map` for the sacrificial-tile mechanics."""
+    q = nblk - 1
+
+    def out_map(i, c, j):
+        keep = ((c == 0) & (j == 0)) | (j < c)
+        return (i, jnp.where(keep, j, q), jnp.where(keep, c, q))
+
+    return out_map
+
+
+@functools.partial(jax.jit, static_argnames=("t", "nb", "interpret"))
+def _gram_init0_jit(ld, t, nb, interpret):
+    n = ld.shape[0]
+    m = _slab8(n, _init_slab(n, nb))
+    nblk = t // nb
+    out = pl.pallas_call(
+        _gram_init0_kernel,
+        grid=(n // m, nblk, nblk),
+        in_specs=[pl.BlockSpec((m, nb, nb), lambda i, c, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((m, nb, nb), _init0_out_map(nblk),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, t, t), jnp.float32),
+        compiler_params=_init_vmem_params(m, nb),
+        interpret=interpret,
+    )(ld)
+    return out
+
+
+def _make_defer1_kernel(kfn, noise):
+    """b=1 deferred kernel: column 0's sub-diagonal tiles are built from
+    in-kernel gram tiles (``colb = K[rows, 0:nb] @ ldi0^T`` — the same
+    bytes the old init pass wrote and the old b=1 history pass re-read)
+    and written to L through the alias, while the block-1 panel comes out
+    as ``K[rows, nb:2nb] - colb @ cbrow^T`` (j=0 -> diag, j>0 -> sub).
+    There is no history input at all: column 0 IS the history at b=1.
+    """
+    def kernel(tr_ref, tc0_ref, tc1_ref, mr_ref, mc0_ref, mc1_ref,
+               ls_ref, var_ref, ldi_ref, l_any_ref,
+               col_ref, diag_ref, subo_ref, cbrow_scr):
+        del l_any_ref  # aliased with the col output; never read
+        j = pl.program_id(1)
+        k0 = _gram_tile(
+            tr_ref[...], tc0_ref[...], mr_ref[...], mc0_ref[...],
+            ls_ref[:, :1], var_ref[:, :1], noise, kfn, False,
+        )
+        colb = split_dot(
+            k0, ldi_ref[...], (((2,), (2,)), ((0,), (0,))),
+        )
+        col_ref[...] = colb
+
+        @pl.when(j == 0)
         def _():
-            out_ref[...] = jnp.zeros_like(out_ref)
+            cbrow_scr[...] = colb
+
+        k1 = _gram_tile(
+            tr_ref[...], tc1_ref[...], mr_ref[...], mc1_ref[...],
+            ls_ref[:, :1], var_ref[:, :1], noise, kfn, j == 0,
+        )
+        panel = k1 - split_dot(
+            colb, cbrow_scr[...], (((2,), (2,)), ((0,), (0,))),
+        )
+
+        @pl.when(j == 0)
+        def _():
+            diag_ref[...] = panel
+
+        @pl.when(j > 0)
+        def _():
+            subo_ref[...] = panel
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb", "kernel", "noise", "interpret")
+    jax.jit, static_argnames=("nb", "kernel", "noise", "interpret"),
+    donate_argnums=(0,),
 )
-def _gram_init_l_jit(times, mask, ls, var, ld, ld_inv, nb, kernel, noise,
+def _gram_defer1_jit(l, times, mask, ls, var, ldi0, nb, kernel, noise,
                      interpret):
     from gpvae_tpu import kernels as kernels_lib
 
     n, t = times.shape
-    m = _slab8(n, _init_slab(n, nb))
-    nblk = t // nb
+    assert t % nb == 0 and t // nb >= 2
+    r = t - nb
+    m = _slab8(n, _defer_slab(2 * nb, n, nb))
     kfn = kernels_lib.get_kernel(kernel)
-    vec = pl.BlockSpec(
-        (m, nb), lambda i, c, j: (i, jnp.where(c == 0, j, 0))
+    vec = pl.BlockSpec((m, nb), lambda i, j: (i, 1 + j))
+    vec0 = pl.BlockSpec((m, nb), lambda i, j: (i, 0))
+    vec1 = pl.BlockSpec((m, nb), lambda i, j: (i, 1))
+    par = pl.BlockSpec((m, 128), lambda i, j: (i, 0))
+    pinned = pl.BlockSpec((m, nb, nb), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((m, nb, nb), lambda i, j: (i, 1 + j, 0),
+                            memory_space=pltpu.VMEM)
+    subo_spec = pl.BlockSpec(
+        (m, nb, nb), lambda i, j: (i, jnp.maximum(j - 1, 0), 0),
+        memory_space=pltpu.VMEM,
     )
-    vec0 = pl.BlockSpec((m, nb), lambda i, c, j: (i, 0))
-    par = pl.BlockSpec((m, 128), lambda i, c, j: (i, 0))
-    mat0 = pl.BlockSpec((m, nb, nb), lambda i, c, j: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        _make_gram_init_kernel(kfn, noise),
-        grid=(n // m, nblk, nblk),
-        in_specs=[vec, vec0, vec, vec0, par, par, mat0, mat0],
-        out_specs=pl.BlockSpec((m, nb, nb), _init_out_map(nblk),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, t, t), jnp.float32),
-        compiler_params=_init_vmem_params(m, nb),
+    in_specs = [
+        vec, vec0, vec1, vec, vec0, vec1, par, par,
+        pinned,                                   # ldi0
+        pl.BlockSpec(memory_space=pltpu.ANY),     # aliased L, unread
+    ]
+    lout, diag, sub = pl.pallas_call(
+        _make_defer1_kernel(kfn, noise),
+        grid=(n // m, r // nb),
+        in_specs=in_specs,
+        out_specs=(col_spec, pinned, subo_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, t, t), jnp.float32),
+            jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
+            jax.ShapeDtypeStruct((n, max(r - nb, nb), nb), jnp.float32),
+        ),
+        input_output_aliases={9: 0},
+        scratch_shapes=[pltpu.VMEM((m, nb, nb), jnp.float32)],
+        compiler_params=_vmem_params(m, nb, 2 * nb),
         interpret=interpret,
-    )(times, times, mask, mask, ls, var, ld, ld_inv)
-    return out
+    )(times, times, times, mask, mask, mask, ls, var, ldi0, l)
+    return lout, diag, sub[:, : r - nb] if r - nb > 0 else sub[:, :0]
 
 
 def cholesky_gram_inplace(
@@ -894,18 +921,21 @@ def cholesky_gram_inplace(
     ld, ld_inv = chol_lib.chol_and_inv(k00)
     if num_blocks == 1:
         return ld[:n_out, :t, :t]
-    l = _gram_init_l_jit(times, mk, ls, var, ld, ld_inv, nb, kernel, noise,
-                         False)
     # Deferred-column flow: each step's kernel writes the PREVIOUS block's
     # final column (sub_prev @ ldi_prev^T, aliased into l) while computing
     # this block's panel — no separate writeback pass (see the
-    # deferred-column section above).  Diagonal blocks go in via the tiny
-    # DUS; the final block skips the never-consumed inverse (chol_wide).
+    # deferred-column section above).  Column 0 itself is deferred into
+    # the b=1 kernel (its "sub_prev" is the gram, built in-kernel), so
+    # init only writes the (0, 0) tile and the upper-triangle zeros.
+    # Diagonal blocks go in via the tiny DUS; the final block skips the
+    # never-consumed inverse (chol_wide).
+    l = _gram_init0_jit(ld, t_pad, nb, False)
     sub_prev = ldi_prev = None
     for b in range(1, num_blocks):
-        if sub_prev is None:
-            diag, sub = _gram_hist2_jit(l, times, mk, ls, var, b, nb,
-                                        kernel, noise, False)
+        if b == 1:
+            l, diag, sub = _gram_defer1_jit(
+                l, times, mk, ls, var, ld_inv, nb, kernel, noise, False,
+            )
         else:
             l, diag, sub = _gram_hist2_defer_jit(
                 l, times, mk, ls, var, sub_prev, ldi_prev,

@@ -359,14 +359,12 @@ def test_deferred_gram_flow_vs_oracle():
     ld, ldi = chol_lib.chol_and_inv(k00)
     lsb = jnp.broadcast_to(ls[:, None], (n, 128))
     varb = jnp.broadcast_to(var[:, None], (n, 128))
-    l = pallas_big._gram_init_l_jit(
-        jnp.asarray(tt), mask, lsb, varb, ld, ldi, nb, "rbf", 1e-2, True
-    )
+    l = pallas_big._gram_init0_jit(ld, t, nb, True)
     sub_prev = ldi_prev = None
     for b in range(1, t // nb):
-        if sub_prev is None:
-            diag, sub = pallas_big._gram_hist2_jit(
-                l, jnp.asarray(tt), mask, lsb, varb, b, nb, "rbf", 1e-2,
+        if b == 1:
+            l, diag, sub = pallas_big._gram_defer1_jit(
+                l, jnp.asarray(tt), mask, lsb, varb, ldi, nb, "rbf", 1e-2,
                 True,
             )
         else:
