@@ -83,22 +83,25 @@ def main():
     nblocks = t // nb
     total = 0.0
     total += bench(
-        lambda tt: chol.chol_and_inv(kernels_lib.gram(
-            tt[:, :nb], ls[:, None, None], noise=noise,
-            variance=var[:, None, None]))[0],
-        (times,), "k00 gram+chol_and_inv",
+        lambda tt: pallas_big.gram_chol_inv_128_parts(
+            tt, mk, lsb, varb, "rbf", noise),
+        (times,), "k00 gram_chol_inv_parts",
     )
+    pr = pallas_big.gram_chol_inv_128_parts(times, mk, lsb, varb, "rbf",
+                                            noise)
+    l11, a21, l22, i11, i21, i22 = [jnp.asarray(x) for x in pr]
     if nblocks == 1:
         print(f"single block; total ~ {total * 1e3:.2f} ms")
         return
     total += bench(
-        lambda tt: pallas_big._gram_init0_jit(ld0, t, nb, False),
-        (times,), "gram_init0",
+        lambda tt: pallas_big._init0_parts_jit(l11, a21, l22, t, nb, False),
+        (times,), "init0_parts",
     )
     # step b=1: column 0 deferred from in-kernel gram tiles
     total += bench(
         lambda l: pallas_big._gram_defer1_jit(
-            l.copy(), times, mk, lsb, varb, ldi0, nb, "rbf", noise, False),
+            l.copy(), times, mk, lsb, varb, i11, i21, i22, nb, "rbf",
+            noise, False),
         (l_full,), "defer1 (+l copy)",
     )
     # deferred steps b=2..nblocks-1
@@ -109,22 +112,23 @@ def main():
         total += bench(
             lambda l, b=b, sp=sub_prev:
                 pallas_big._gram_hist2_defer_jit(
-                    l.copy(), times, mk, lsb, varb, sp, ldi0,
+                    l.copy(), times, mk, lsb, varb, sp, i11, i21, i22,
                     b, nb, "rbf", noise, False),
             (l_full,), f"defer b={b} (+l copy)",
         )
-    # per-step diag factor+inverse (same shape every step)
+    # per-step diag factor+inverse parts (same shape every step)
     total += bench(
-        lambda d: chol.chol_and_inv(d), (ld0 @ jnp.swapaxes(ld0, -1, -2),),
-        "chol_and_inv(diag)", scale=nblocks - 2,
+        lambda d: chol.chol_inv_parts(d), (ld0 @ jnp.swapaxes(ld0, -1, -2),),
+        "chol_inv_parts(diag)", scale=nblocks - 2,
     )
     total += bench(
-        lambda d: chol.chol_wide(d), (ld0 @ jnp.swapaxes(ld0, -1, -2),),
-        "chol_wide(final diag)",
+        lambda d: chol.chol_parts(d), (ld0 @ jnp.swapaxes(ld0, -1, -2),),
+        "chol_parts(final diag)",
     )
     total += bench(
-        lambda l: pallas_big._writeback_diag_only(l.copy(), ld0, 1, nb),
-        (l_full,), "diag writeback (+l copy)", scale=nblocks - 1,
+        lambda l: pallas_big.diag_parts_writeback(
+            l.copy(), (l11, a21, l22), 1, nb),
+        (l_full,), "diag parts wb (+l copy)", scale=nblocks - 1,
     )
     print(f"sum of parts ~ {total * 1e3:.2f} ms")
 

@@ -75,7 +75,8 @@ def _gram_chol_blocked(times, lengthscales, mask, variance, kernel, noise):
     the blocked in-place factorization with gram tiles built in-kernel
     (ops/pallas_big.cholesky_gram_inplace) — the [B, Z, T, T] gram never
     exists in HBM (at T=1024 N=128: 537 MB write + 537 MB read deleted;
-    measured 6.39 -> 4.39 ms, 10.4 TF/s)."""
+    measured 6.39 -> 4.39 ms when introduced; ~13 TF/s current,
+    BASELINE.md round 3)."""
     from gpvae_tpu.ops import pallas_big
 
     b, t = times.shape

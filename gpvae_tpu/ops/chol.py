@@ -125,6 +125,34 @@ def chol_and_inv(
     return l, inv
 
 
+def chol_inv_parts(d: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """Half-block parts ``(l11, a21, l22, i11, i21, i22)`` of
+    :func:`chol_and_inv` for ``d [N, nb, nb]`` with even ``nb`` — the
+    deferred-column flow consumes the blocks directly (in-kernel
+    assembly), skipping the full-tile L/L^{-1} HBM writes + the diag DUS
+    round-trip.  Values match the assembled forms exactly (same chain)."""
+    n, nb, _ = d.shape
+    h = nb // 2
+    if nb == 128 and dispatch.on_tpu():
+        d = jax.lax.optimization_barrier(d)
+        return pallas_chol.chol_inv_128_parts(d)
+    l, inv = chol_and_inv(d)
+    return (l[:, :h, :h], l[:, h:, :h], l[:, h:, h:],
+            inv[:, :h, :h], inv[:, h:, :h], inv[:, h:, h:])
+
+
+def chol_parts(d: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """Factor-only half-block parts ``(l11, a21, l22)`` of
+    :func:`chol_wide` (final diagonal blocks)."""
+    n, nb, _ = d.shape
+    h = nb // 2
+    if nb == 128 and dispatch.on_tpu():
+        d = jax.lax.optimization_barrier(d)
+        return pallas_chol.chol_128_parts(d)
+    l = chol_wide(d)
+    return l[:, :h, :h], l[:, h:, :h], l[:, h:, h:]
+
+
 def chol_wide(d: jnp.ndarray, base: int | None = None) -> jnp.ndarray:
     """``L`` of batched PSD ``d [N, nb, nb]`` — the :func:`chol_and_inv`
     recursion *without* the inverse assembly.

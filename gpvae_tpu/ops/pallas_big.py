@@ -6,13 +6,14 @@ docs/DESIGN.md "round 3"):
 * **in-place column writeback** — the column block ``[Ld; X]`` is written
   straight into the L buffer through ``input_output_aliases`` (no x temp,
   no dynamic_update_slice copy); in the fused-gram flow L is born writing
-  only the (0, 0) tile and the upper-triangle zeros (``_gram_init0_jit``)
+  only the (0, 0) tile and the upper-triangle zeros (``_init0_parts_jit``)
   and column 0 itself rides the b=1 deferred kernel (``_gram_defer1_jit``);
 * **fused gram construction** (``cholesky_gram_inplace``) — every K tile
   is built in-kernel from the O(N*T) time vectors with exact
   ``kernels.gram`` semantics, so the [N, T, T] gram never exists in HBM:
   at T=1024 N=128 this deletes a 537 MB gram write and a 537 MB K read
-  (measured 6.39 -> 4.39 ms, 10.4 TF/s for the production op);
+  (measured 6.39 -> 4.39 ms when introduced; the op now runs at
+  ~13 TF/s after the round-3c parts flow — BASELINE.md);
 * **slice materialization + Pallas diagonal extraction** — see
   ``ops/chol.py::chol_and_inv`` and ``diag_extract`` below for the two
   systemic HBM pathologies this path dodges.
@@ -531,7 +532,7 @@ def _vmem_params(m: int, nb: int, o: int) -> pltpu.CompilerParams:
 # (and its ~350 MB sub re-read at T=1024 N=128) disappears.  The diagonal
 # block itself goes in via the tiny ``_writeback_diag_only`` DUS.
 
-def _make_defer_kernel(kfn, noise, with_gram: bool):
+def _make_defer_kernel(kfn, noise, with_gram: bool, with_sub: bool = True):
     """Deferred-column hist kernel for step b >= 2 (o' = (b-1)*nb history
     columns finalized in L; column block b-1 arrives as ``sub_prev``).
 
@@ -549,11 +550,18 @@ def _make_defer_kernel(kfn, noise, with_gram: bool):
     def kernel(*refs):
         if with_gram:
             (tr_ref, tc_ref, mr_ref, mc_ref, ls_ref, var_ref,
-             sub_ref, ldi_ref, hist_ref,
-             col_ref, diag_ref, subo_ref, row_scr, cbrow_scr) = refs
+             sub_ref, i11_ref, i21_ref, i22_ref, hist_ref,
+             *rest) = refs
         else:
-            (k_ref, sub_ref, ldi_ref, hist_ref,
-             col_ref, diag_ref, subo_ref, row_scr, cbrow_scr) = refs
+            (k_ref, sub_ref, i11_ref, i21_ref, i22_ref, hist_ref,
+             *rest) = refs
+        if with_sub:
+            col_ref, diag_ref, subo_ref, row_scr, cbrow_scr, ldi_scr = rest
+        else:
+            # final block step (r == nb): the raw-sub output would be a
+            # never-written dummy whose [N, nb, nb] buffer Pallas still
+            # flushes to HBM — drop it from the signature instead
+            col_ref, diag_ref, row_scr, cbrow_scr, ldi_scr = rest
         j = pl.program_id(1)
 
         # the history ROW block (rows of the diag tile) is exactly the j=0
@@ -564,8 +572,19 @@ def _make_defer_kernel(kfn, noise, with_gram: bool):
         def _():
             row_scr[...] = hist_ref[...]
 
+        # the previous block's inverse arrives as half-block parts (its
+        # [N, nb, nb] form is never written to HBM — see chol_inv_parts);
+        # assemble it once per matrix slab into persistent scratch
+        @pl.when(j == 0)
+        def _():
+            zero = jnp.zeros_like(i11_ref[...])
+            ldi_scr[...] = jnp.concatenate([
+                jnp.concatenate([i11_ref[...], zero], axis=2),
+                jnp.concatenate([i21_ref[...], i22_ref[...]], axis=2),
+            ], axis=1)
+
         colb = split_dot(
-            sub_ref[...], ldi_ref[...], (((2,), (2,)), ((0,), (0,))),
+            sub_ref[...], ldi_scr[...], (((2,), (2,)), ((0,), (0,))),
         )
         col_ref[...] = colb
 
@@ -596,16 +615,19 @@ def _make_defer_kernel(kfn, noise, with_gram: bool):
         def _():
             diag_ref[...] = panel
 
-        @pl.when(j > 0)
-        def _():
-            subo_ref[...] = panel
+        if with_sub:
+            @pl.when(j > 0)
+            def _():
+                subo_ref[...] = panel
 
     return kernel
 
 
 def _defer_slab(o: int, n: int, nb: int) -> int:
-    # hist double-buffered + resident row (width o) + 7 nb x nb buffers
-    per_matrix = 4 * (3 * nb * o + 7 * nb * nb)
+    # hist double-buffered + resident row (width o) + 8 nb x nb buffers
+    # (incl. the assembled-inverse scratch; the three half parts together
+    # count as one)
+    per_matrix = 4 * (3 * nb * o + 8 * nb * nb)
     m = max(1, _SLAB_BYTES // max(per_matrix, 1))
     while n % m != 0:
         m -= 1
@@ -617,7 +639,8 @@ def _defer_slab(o: int, n: int, nb: int) -> int:
     static_argnames=("block", "nb", "kernel", "noise", "interpret"),
     donate_argnums=(0,),
 )
-def _gram_hist2_defer_jit(l, times, mask, ls, var, sub_prev, ldi_prev,
+def _gram_hist2_defer_jit(l, times, mask, ls, var, sub_prev,
+                          i11_prev, i21_prev, i22_prev,
                           block, nb, kernel, noise, interpret):
     from gpvae_tpu import kernels as kernels_lib
 
@@ -625,7 +648,9 @@ def _gram_hist2_defer_jit(l, times, mask, ls, var, sub_prev, ldi_prev,
     assert t % nb == 0 and 2 <= block < t // nb
     o = (block - 1) * nb              # finalized history width in L
     r = t - block * nb                # rows of this panel (and of sub_prev)
+    h = nb // 2
     assert sub_prev.shape[1] >= r, (sub_prev.shape, r)
+    assert i11_prev.shape[-1] == h, (i11_prev.shape, h)
     m = _slab8(n, _defer_slab(o + nb, n, nb))
     kfn = kernels_lib.get_kernel(kernel)
     b = block
@@ -636,6 +661,8 @@ def _gram_hist2_defer_jit(l, times, mask, ls, var, sub_prev, ldi_prev,
                         memory_space=pltpu.VMEM)
     pinned = pl.BlockSpec((m, nb, nb), lambda i, j: (i, 0, 0),
                           memory_space=pltpu.VMEM)
+    pinned_h = pl.BlockSpec((m, h, h), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((m, nb, nb), lambda i, j: (i, b + j, b - 1),
                             memory_space=pltpu.VMEM)
     subo_spec = pl.BlockSpec(
@@ -645,45 +672,56 @@ def _gram_hist2_defer_jit(l, times, mask, ls, var, sub_prev, ldi_prev,
     in_specs = [
         vec, vec0, vec, vec0, par, par,
         tile,                                     # sub_prev row tile j
-        pinned,                                   # ldi_prev
+        pinned_h, pinned_h, pinned_h,             # ldi_prev half parts
         pl.BlockSpec((m, nb, o), lambda i, j: (i, b + j, 0),
                      memory_space=pltpu.VMEM),    # hist_L
     ]
-    lout, diag, sub = pl.pallas_call(
-        _make_defer_kernel(kfn, noise, with_gram=True),
+    with_sub = r > nb
+    out_specs = (col_spec, pinned) + ((subo_spec,) if with_sub else ())
+    out_shape = (
+        jax.ShapeDtypeStruct((n, t, t), jnp.float32),
+        jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
+    ) + ((jax.ShapeDtypeStruct((n, r - nb, nb), jnp.float32),)
+         if with_sub else ())
+    out = pl.pallas_call(
+        _make_defer_kernel(kfn, noise, with_gram=True, with_sub=with_sub),
         grid=(n // m, r // nb),
         in_specs=in_specs,
-        out_specs=(col_spec, pinned, subo_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, t, t), jnp.float32),
-            jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
-            jax.ShapeDtypeStruct((n, max(r - nb, nb), nb), jnp.float32),
-        ),
-        input_output_aliases={8: 0},   # l (hist input) -> column-updated l
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases={10: 0},  # l (hist input) -> column-updated l
         scratch_shapes=[pltpu.VMEM((m, nb, o), jnp.float32),
+                        pltpu.VMEM((m, nb, nb), jnp.float32),
                         pltpu.VMEM((m, nb, nb), jnp.float32)],
         compiler_params=_vmem_params(m, nb, o + nb),
         interpret=interpret,
     )(times, times, mask, mask, ls, var,
-      sub_prev[:, :r], ldi_prev, l)
-    return lout, diag, sub[:, : r - nb] if r - nb > 0 else sub[:, :0]
+      sub_prev[:, :r], i11_prev, i21_prev, i22_prev, l)
+    if with_sub:
+        return out
+    return out[0], out[1], jnp.zeros((n, 0, nb), jnp.float32)
 
 
 @functools.partial(
     jax.jit, static_argnames=("block", "nb", "interpret"),
     donate_argnums=(0,),
 )
-def _hist2_defer_jit(l, k, sub_prev, ldi_prev, block, nb, interpret):
+def _hist2_defer_jit(l, k, sub_prev, i11_prev, i21_prev, i22_prev,
+                     block, nb, interpret):
     n, t, t_ = k.shape
     assert t == t_ and t % nb == 0 and 2 <= block < t // nb
     o = (block - 1) * nb
     r = t - block * nb
+    h = nb // 2
+    assert i11_prev.shape[-1] == h, (i11_prev.shape, h)
     m = _defer_slab(o + nb, n, nb)
     b = block
     tile = pl.BlockSpec((m, nb, nb), lambda i, j: (i, j, 0),
                         memory_space=pltpu.VMEM)
     pinned = pl.BlockSpec((m, nb, nb), lambda i, j: (i, 0, 0),
                           memory_space=pltpu.VMEM)
+    pinned_h = pl.BlockSpec((m, h, h), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((m, nb, nb), lambda i, j: (i, b + j, b - 1),
                             memory_space=pltpu.VMEM)
     subo_spec = pl.BlockSpec(
@@ -693,100 +731,282 @@ def _hist2_defer_jit(l, k, sub_prev, ldi_prev, block, nb, interpret):
     in_specs = [
         pl.BlockSpec((m, nb, nb), lambda i, j: (i, b + j, b),
                      memory_space=pltpu.VMEM),    # K tile
-        tile, pinned,
+        tile, pinned_h, pinned_h, pinned_h,
         pl.BlockSpec((m, nb, o), lambda i, j: (i, b + j, 0),
                      memory_space=pltpu.VMEM),    # hist_L
     ]
-    lout, diag, sub = pl.pallas_call(
-        _make_defer_kernel(None, 0.0, with_gram=False),
+    with_sub = r > nb
+    out_specs = (col_spec, pinned) + ((subo_spec,) if with_sub else ())
+    out_shape = (
+        jax.ShapeDtypeStruct((n, t, t), jnp.float32),
+        jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
+    ) + ((jax.ShapeDtypeStruct((n, r - nb, nb), jnp.float32),)
+         if with_sub else ())
+    out = pl.pallas_call(
+        _make_defer_kernel(None, 0.0, with_gram=False, with_sub=with_sub),
         grid=(n // m, r // nb),
         in_specs=in_specs,
-        out_specs=(col_spec, pinned, subo_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, t, t), jnp.float32),
-            jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
-            jax.ShapeDtypeStruct((n, max(r - nb, nb), nb), jnp.float32),
-        ),
-        input_output_aliases={3: 0},
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases={5: 0},
         scratch_shapes=[pltpu.VMEM((m, nb, o), jnp.float32),
+                        pltpu.VMEM((m, nb, nb), jnp.float32),
                         pltpu.VMEM((m, nb, nb), jnp.float32)],
         compiler_params=_vmem_params(m, nb, o + nb),
         interpret=interpret,
-    )(k.astype(jnp.float32), sub_prev[:, :r], ldi_prev, l)
-    return lout, diag, sub[:, : r - nb] if r - nb > 0 else sub[:, :0]
+    )(k.astype(jnp.float32), sub_prev[:, :r],
+      i11_prev, i21_prev, i22_prev, l)
+    if with_sub:
+        return out
+    return out[0], out[1], jnp.zeros((n, 0, nb), jnp.float32)
 
 
-def _gram_init0_kernel(ld_ref, out_ref):
-    """Upper-zeros + L[0:nb, 0:nb] = Ld init: column 0's sub-diagonal
-    tiles are NOT written here — they ride the b=1 deferred kernel
-    (``_gram_defer1_jit``) exactly like every later column rides step
-    b+1, so the only real writes are the diagonal tile and the
-    upper-triangle zeros."""
-    c = pl.program_id(1)
-    j = pl.program_id(2)
+def _init0_parts_kernel(rmap_ref, cmap_ref, l11_ref, a21_ref, l22_ref,
+                        out_ref):
+    """Upper-zeros + L[0:nb, 0:nb] init, assembled in-kernel from the
+    half-block parts: column 0's sub-diagonal tiles are NOT written here —
+    they ride the b=1 deferred kernel (``_gram_defer1_jit``) exactly like
+    every later column rides step b+1.  The scalar-prefetched (row, col)
+    maps enumerate ONLY the real tiles (the (0, 0) diagonal + the
+    strictly-upper zeros), so unlike the old sacrificial-redirect grid no
+    wasted tile flushes happen at all (~2x the useful bytes at nblk=2)."""
+    del rmap_ref, cmap_ref
+    u = pl.program_id(1)
 
-    @pl.when((c == 0) & (j == 0))
+    @pl.when(u == 0)
     def _():
-        out_ref[...] = ld_ref[...]
+        zero = jnp.zeros_like(l11_ref[...])
+        out_ref[...] = jnp.concatenate([
+            jnp.concatenate([l11_ref[...], zero], axis=2),
+            jnp.concatenate([a21_ref[...], l22_ref[...]], axis=2),
+        ], axis=1)
 
-    @pl.when((c > 0) | (j > 0))
+    @pl.when(u > 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
 
-def _init0_out_map(nblk: int):
-    """Out map keeping only the (0, 0) diagonal tile and the
-    upper-triangle zero tiles; everything else (column 0's sub-diagonal
-    via the b=1 deferred kernel, later columns via steps b+1, diagonal
-    blocks via the DUS) is overwritten downstream — see
-    :func:`_init_out_map` for the sacrificial-tile mechanics."""
-    q = nblk - 1
-
-    def out_map(i, c, j):
-        keep = ((c == 0) & (j == 0)) | (j < c)
-        return (i, jnp.where(keep, j, q), jnp.where(keep, c, q))
-
-    return out_map
-
-
 @functools.partial(jax.jit, static_argnames=("t", "nb", "interpret"))
-def _gram_init0_jit(ld, t, nb, interpret):
-    n = ld.shape[0]
-    m = _slab8(n, _init_slab(n, nb))
+def _init0_parts_jit(l11, a21, l22, t, nb, interpret):
+    import numpy as np
+
+    n = l11.shape[0]
+    h = nb // 2
     nblk = t // nb
-    out = pl.pallas_call(
-        _gram_init0_kernel,
-        grid=(n // m, nblk, nblk),
-        in_specs=[pl.BlockSpec((m, nb, nb), lambda i, c, j: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((m, nb, nb), _init0_out_map(nblk),
-                               memory_space=pltpu.VMEM),
+    if interpret:
+        zero = jnp.zeros((n, h, h), jnp.float32)
+        ld = jnp.concatenate([
+            jnp.concatenate([l11, zero], axis=2),
+            jnp.concatenate([a21, l22], axis=2),
+        ], axis=1)
+        return jnp.pad(ld, ((0, 0), (0, t - nb), (0, t - nb)))
+    # tile list: u=0 -> (0, 0) diag; then the strictly-upper (j < c) zeros
+    rows, cols = [0], [0]
+    for c in range(1, nblk):
+        for j in range(c):
+            rows.append(j)
+            cols.append(c)
+    u_total = len(rows)
+    rmap = jnp.asarray(np.asarray(rows, np.int32))
+    cmap = jnp.asarray(np.asarray(cols, np.int32))
+    # the old 4-full-tile slab estimate (_init_slab) deliberately kept:
+    # sizing m from this kernel's true (smaller) footprint quadruples the
+    # block to ~8 MB and measured ~6% slower — fat write blocks pipeline
+    # worse than many double-buffered ones (same lesson as the hist slabs)
+    m = _slab8(n, _init_slab(n, nb))
+    half = pl.BlockSpec((m, h, h), lambda i, u, rm, cm: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n // m, u_total),
+        in_specs=[half, half, half],
+        out_specs=pl.BlockSpec(
+            (m, nb, nb), lambda i, u, rm, cm: (i, rm[u], cm[u]),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _init0_parts_kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, t, t), jnp.float32),
         compiler_params=_init_vmem_params(m, nb),
         interpret=interpret,
-    )(ld)
-    return out
+    )(rmap, cmap, l11, a21, l22)
 
 
-def _make_defer1_kernel(kfn, noise):
+def _make_gram_schur_kernel(kfn, noise):
+    """Schur step of the 128-wide k00 recursion with the gram built
+    in-kernel: K21/K22 tiles come from the time vectors (so the
+    [N, 128, 128] k00 gram never exists in HBM), then
+    ``a21 = K21 i11^T``, ``s22 = K22 - a21 a21^T`` — the same arithmetic
+    as ``pallas_chol._schur64_kernel`` on an XLA-built gram."""
+    def kernel(t_ref, m_ref, ls_ref, var_ref, i11_ref, a21_ref, s22_ref):
+        # Mosaic wants 128-wide (or full) 2D blocks: the [m, 128] time/mask
+        # rows arrive whole and the 64-halves are static value slices
+        tr, tc = t_ref[:, 64:], t_ref[:, :64]
+        mr, mc = m_ref[:, 64:], m_ref[:, :64]
+        k21 = _gram_tile(
+            tr, tc, mr, mc,
+            ls_ref[:, :1], var_ref[:, :1], noise, kfn, False,
+        )
+        a21 = split_dot(
+            k21, i11_ref[...], (((2,), (2,)), ((0,), (0,))),
+        )
+        a21_ref[...] = a21
+        k22 = _gram_tile(
+            tr, tr, mr, mr,
+            ls_ref[:, :1], var_ref[:, :1], noise, kfn, True,
+        )
+        s22_ref[...] = k22 - split_dot(
+            a21, a21, (((2,), (2,)), ((0,), (0,))),
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel", "noise", "interpret")
+)
+def _gram_schur64_jit(times, mask, ls, var, i11, kernel, noise, interpret):
+    from gpvae_tpu import kernels as kernels_lib
+
+    n, t = times.shape
+    assert t == 128 and i11.shape[-1] == 64
+    kfn = kernels_lib.get_kernel(kernel)
+    m = _slab8(n, 32)
+    par = pl.BlockSpec((m, 128), lambda i: (i, 0))
+    half = pl.BlockSpec((m, 64, 64), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_gram_schur_kernel(kfn, noise),
+        grid=(n // m,),
+        in_specs=[par, par, par, par, half],
+        out_specs=(half, half),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 64, 64), jnp.float32),
+            jax.ShapeDtypeStruct((n, 64, 64), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(
+                16 * 1024 * 1024, int(4 * m * (8 * 64 * 64) * 2)
+            ),
+        ),
+        interpret=interpret,
+    )(times, mask, ls, var, i11)
+
+
+def gram_chol_inv_128_parts(times, mask, ls, var, kernel="rbf",
+                            noise: float = 1e-3):
+    """Half-block parts ``(l11, a21, l22, i11, i21, i22)`` of the first
+    128-wide diagonal block's (L, L^{-1}) with the gram built entirely
+    in-kernel: the lane pass factors+inverts the (0, 0) 64-quadrant from
+    the time vectors (``pallas_chol.gram_chol_inv_small``), the Schur
+    kernel builds K21/K22 tiles in-kernel, so neither the [N, 128, 128]
+    k00 gram nor the assembled L0/L0^{-1} ever touch HBM.  ``times/mask``
+    are ``[N, 128]``, ``ls/var`` ``[N, 128]`` broadcast rows."""
+    from gpvae_tpu.ops import pallas_chol
+
+    times, mask = times[:, :128], mask[:, :128]
+    l11, i11 = pallas_chol.gram_chol_inv_small(
+        times[:, :64], ls[:, 0], mask[:, :64], var[:, 0],
+        kernel=kernel, noise=noise,
+    )
+    a21, s22 = _gram_schur64_jit(times, mask, ls, var, i11, kernel, noise,
+                                 _interpret())
+    l22, i22 = pallas_chol.chol_inv_small_batched(s22)
+    i21 = pallas_chol._inv21_jit(i11, a21, i22, _interpret())
+    return l11, a21, l22, i11, i21, i22
+
+
+def _diag_parts_kernel(l_any_ref, l11_ref, a21_ref, l22_ref, out_ref):
+    del l_any_ref  # aliased with out; never read
+    zero = jnp.zeros_like(l11_ref[...])
+    out_ref[...] = jnp.concatenate([
+        jnp.concatenate([l11_ref[...], zero], axis=2),
+        jnp.concatenate([a21_ref[...], l22_ref[...]], axis=2),
+    ], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "nb", "interpret"),
+                   donate_argnums=(0,))
+def _diag_parts_wb_jit(l, l11, a21, l22, block, nb, interpret):
+    n, t, _ = l.shape
+    h = nb // 2
+    b = block
+    if interpret:
+        zero = jnp.zeros((n, h, h), jnp.float32)
+        ld = jnp.concatenate([
+            jnp.concatenate([l11, zero], axis=2),
+            jnp.concatenate([a21, l22], axis=2),
+        ], axis=1)
+        return jax.lax.dynamic_update_slice(l, ld, (0, b * nb, b * nb))
+    per_matrix = 4 * (3 * h * h + nb * nb) * 2
+    m = max(1, _SLAB_BYTES // per_matrix)
+    while n % m != 0:
+        m -= 1
+    half = pl.BlockSpec((m, h, h), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _diag_parts_kernel,
+        grid=(n // m,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # aliased L, unread
+            half, half, half,
+        ],
+        out_specs=pl.BlockSpec((m, nb, nb), lambda i: (i, b, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, t, t), jnp.float32),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(16 * 1024 * 1024, int(per_matrix * m * 1.5)),
+        ),
+        interpret=interpret,
+    )(l, l11, a21, l22)
+
+
+def diag_parts_writeback(l, parts, block: int, nb: int):
+    """Write diagonal block ``block`` of ``l`` in place from half-block
+    factor parts ``(l11, a21, l22)`` — replaces the assemble + DUS pair
+    (two full-tile writes + one read) with a single aliased write."""
+    l11, a21, l22 = parts
+    return _diag_parts_wb_jit(l, l11, a21, l22, block, nb, _interpret())
+
+
+def _make_defer1_kernel(kfn, noise, with_sub: bool = True):
     """b=1 deferred kernel: column 0's sub-diagonal tiles are built from
     in-kernel gram tiles (``colb = K[rows, 0:nb] @ ldi0^T`` — the same
     bytes the old init pass wrote and the old b=1 history pass re-read)
     and written to L through the alias, while the block-1 panel comes out
     as ``K[rows, nb:2nb] - colb @ cbrow^T`` (j=0 -> diag, j>0 -> sub).
     There is no history input at all: column 0 IS the history at b=1.
+    ``with_sub=False`` (t == 2 nb) drops the raw-sub output — it would be
+    a never-written dummy whose buffer Pallas still flushes to HBM.
     """
     def kernel(tr_ref, tc0_ref, tc1_ref, mr_ref, mc0_ref, mc1_ref,
-               ls_ref, var_ref, ldi_ref, l_any_ref,
-               col_ref, diag_ref, subo_ref, cbrow_scr):
+               ls_ref, var_ref, i11_ref, i21_ref, i22_ref, l_any_ref,
+               *rest):
         del l_any_ref  # aliased with the col output; never read
+        if with_sub:
+            col_ref, diag_ref, subo_ref, cbrow_scr, ldi_scr = rest
+        else:
+            col_ref, diag_ref, cbrow_scr, ldi_scr = rest
         j = pl.program_id(1)
+
+        # block 0's inverse arrives as half parts (never assembled in HBM)
+        @pl.when(j == 0)
+        def _():
+            zero = jnp.zeros_like(i11_ref[...])
+            ldi_scr[...] = jnp.concatenate([
+                jnp.concatenate([i11_ref[...], zero], axis=2),
+                jnp.concatenate([i21_ref[...], i22_ref[...]], axis=2),
+            ], axis=1)
+
         k0 = _gram_tile(
             tr_ref[...], tc0_ref[...], mr_ref[...], mc0_ref[...],
             ls_ref[:, :1], var_ref[:, :1], noise, kfn, False,
         )
         colb = split_dot(
-            k0, ldi_ref[...], (((2,), (2,)), ((0,), (0,))),
+            k0, ldi_scr[...], (((2,), (2,)), ((0,), (0,))),
         )
         col_ref[...] = colb
 
@@ -806,9 +1026,10 @@ def _make_defer1_kernel(kfn, noise):
         def _():
             diag_ref[...] = panel
 
-        @pl.when(j > 0)
-        def _():
-            subo_ref[...] = panel
+        if with_sub:
+            @pl.when(j > 0)
+            def _():
+                subo_ref[...] = panel
 
     return kernel
 
@@ -817,13 +1038,15 @@ def _make_defer1_kernel(kfn, noise):
     jax.jit, static_argnames=("nb", "kernel", "noise", "interpret"),
     donate_argnums=(0,),
 )
-def _gram_defer1_jit(l, times, mask, ls, var, ldi0, nb, kernel, noise,
-                     interpret):
+def _gram_defer1_jit(l, times, mask, ls, var, i11_0, i21_0, i22_0,
+                     nb, kernel, noise, interpret):
     from gpvae_tpu import kernels as kernels_lib
 
     n, t = times.shape
     assert t % nb == 0 and t // nb >= 2
     r = t - nb
+    h = nb // 2
+    assert i11_0.shape[-1] == h, (i11_0.shape, h)
     m = _slab8(n, _defer_slab(2 * nb, n, nb))
     kfn = kernels_lib.get_kernel(kernel)
     vec = pl.BlockSpec((m, nb), lambda i, j: (i, 1 + j))
@@ -832,6 +1055,8 @@ def _gram_defer1_jit(l, times, mask, ls, var, ldi0, nb, kernel, noise,
     par = pl.BlockSpec((m, 128), lambda i, j: (i, 0))
     pinned = pl.BlockSpec((m, nb, nb), lambda i, j: (i, 0, 0),
                           memory_space=pltpu.VMEM)
+    pinned_h = pl.BlockSpec((m, h, h), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((m, nb, nb), lambda i, j: (i, 1 + j, 0),
                             memory_space=pltpu.VMEM)
     subo_spec = pl.BlockSpec(
@@ -840,25 +1065,32 @@ def _gram_defer1_jit(l, times, mask, ls, var, ldi0, nb, kernel, noise,
     )
     in_specs = [
         vec, vec0, vec1, vec, vec0, vec1, par, par,
-        pinned,                                   # ldi0
+        pinned_h, pinned_h, pinned_h,             # ldi0 half parts
         pl.BlockSpec(memory_space=pltpu.ANY),     # aliased L, unread
     ]
-    lout, diag, sub = pl.pallas_call(
-        _make_defer1_kernel(kfn, noise),
+    with_sub = r > nb
+    out_specs = (col_spec, pinned) + ((subo_spec,) if with_sub else ())
+    out_shape = (
+        jax.ShapeDtypeStruct((n, t, t), jnp.float32),
+        jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
+    ) + ((jax.ShapeDtypeStruct((n, r - nb, nb), jnp.float32),)
+         if with_sub else ())
+    out = pl.pallas_call(
+        _make_defer1_kernel(kfn, noise, with_sub=with_sub),
         grid=(n // m, r // nb),
         in_specs=in_specs,
-        out_specs=(col_spec, pinned, subo_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, t, t), jnp.float32),
-            jax.ShapeDtypeStruct((n, nb, nb), jnp.float32),
-            jax.ShapeDtypeStruct((n, max(r - nb, nb), nb), jnp.float32),
-        ),
-        input_output_aliases={9: 0},
-        scratch_shapes=[pltpu.VMEM((m, nb, nb), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases={11: 0},
+        scratch_shapes=[pltpu.VMEM((m, nb, nb), jnp.float32),
+                        pltpu.VMEM((m, nb, nb), jnp.float32)],
         compiler_params=_vmem_params(m, nb, 2 * nb),
         interpret=interpret,
-    )(times, times, times, mask, mask, mask, ls, var, ldi0, l)
-    return lout, diag, sub[:, : r - nb] if r - nb > 0 else sub[:, :0]
+    )(times, times, times, mask, mask, mask, ls, var,
+      i11_0, i21_0, i22_0, l)
+    if with_sub:
+        return out
+    return out[0], out[1], jnp.zeros((n, 0, nb), jnp.float32)
 
 
 def cholesky_gram_inplace(
@@ -913,40 +1145,56 @@ def cholesky_gram_inplace(
         return cholesky_inplace(k, nb=nb)[:n_out, :t, :t]
     ls = jnp.broadcast_to(lengthscales[:, None], (n, 128))
     var = jnp.broadcast_to(variance[:, None], (n, 128))
-    k00 = kernels_lib.gram(
-        times[:, :nb], lengthscales[:, None, None],
-        kernel=kernel, noise=noise, variance=variance[:, None, None],
-        mask=mk[:, :nb] > 0.5,
-    )
-    ld, ld_inv = chol_lib.chol_and_inv(k00)
     if num_blocks == 1:
-        return ld[:n_out, :t, :t]
+        k00 = kernels_lib.gram(
+            times[:, :nb], lengthscales[:, None, None],
+            kernel=kernel, noise=noise, variance=variance[:, None, None],
+            mask=mk[:, :nb] > 0.5,
+        )
+        return chol_lib.chol_wide(k00)[:n_out, :t, :t]
     # Deferred-column flow: each step's kernel writes the PREVIOUS block's
     # final column (sub_prev @ ldi_prev^T, aliased into l) while computing
     # this block's panel — no separate writeback pass (see the
     # deferred-column section above).  Column 0 itself is deferred into
     # the b=1 kernel (its "sub_prev" is the gram, built in-kernel), so
     # init only writes the (0, 0) tile and the upper-triangle zeros.
-    # Diagonal blocks go in via the tiny DUS; the final block skips the
-    # never-consumed inverse (chol_wide).
-    l = _gram_init0_jit(ld, t_pad, nb, False)
-    sub_prev = ldi_prev = None
+    # Diagonal blocks travel as half-block PARTS end-to-end: the k00 gram
+    # is built in the lane/Schur kernels (never in HBM), each step's
+    # (L_d, L_d^{-1}) stays unassembled (chol_inv_parts), the defer
+    # kernels latch the inverse from parts into VMEM scratch, and the
+    # diag tile is assembled in-kernel by the aliased writeback — the
+    # full-tile L/L^{-1} HBM writes and the DUS round-trip disappear.
+    if nb == 128:
+        l11, a21, l22, i11, i21, i22 = gram_chol_inv_128_parts(
+            times, mk, ls, var, kernel, noise,
+        )
+    else:
+        k00 = kernels_lib.gram(
+            times[:, :nb], lengthscales[:, None, None],
+            kernel=kernel, noise=noise, variance=variance[:, None, None],
+            mask=mk[:, :nb] > 0.5,
+        )
+        l11, a21, l22, i11, i21, i22 = chol_lib.chol_inv_parts(k00)
+    l = _init0_parts_jit(l11, a21, l22, t_pad, nb, False)
+    sub_prev = None
+    iparts = (i11, i21, i22)
     for b in range(1, num_blocks):
         if b == 1:
             l, diag, sub = _gram_defer1_jit(
-                l, times, mk, ls, var, ld_inv, nb, kernel, noise, False,
+                l, times, mk, ls, var, *iparts, nb, kernel, noise, False,
             )
         else:
             l, diag, sub = _gram_hist2_defer_jit(
-                l, times, mk, ls, var, sub_prev, ldi_prev,
+                l, times, mk, ls, var, sub_prev, *iparts,
                 b, nb, kernel, noise, False,
             )
         if b == num_blocks - 1:
-            ld = chol_lib.chol_wide(diag)
+            fparts = chol_lib.chol_parts(diag)
         else:
-            ld, ldi = chol_lib.chol_and_inv(diag)
-            sub_prev, ldi_prev = sub, ldi
-        l = _writeback_diag_only(l, ld, b, nb)
+            p11, pa21, p22, j11, j21, j22 = chol_lib.chol_inv_parts(diag)
+            fparts = (p11, pa21, p22)
+            sub_prev, iparts = sub, (j11, j21, j22)
+        l = diag_parts_writeback(l, fparts, b, nb)
     return l[:n_out, :t, :t]
 
 
@@ -993,8 +1241,10 @@ def cholesky_inplace(k: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
                 ld, ldi = chol_lib.chol_and_inv(diag)
                 l = col_writeback(l, ld, ldi, sub, b, nb)
         return l[:, :t, :t]
-    # Deferred-column flow (see the deferred-column section above)
-    sub_prev = ldi_prev = None
+    # Deferred-column flow (see the deferred-column section above); the
+    # diagonal blocks travel as half-block parts, assembled only by the
+    # aliased in-place diag writeback
+    sub_prev = iparts = None
     for b in range(1, num_blocks):
         if sub_prev is None:
             if b == num_blocks - 1:
@@ -1003,14 +1253,15 @@ def cholesky_inplace(k: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
                 diag, sub = hist_panel_split(l, k, b, nb)
         else:
             l, diag, sub = _hist2_defer_jit(
-                l, k, sub_prev, ldi_prev, b, nb, False,
+                l, k, sub_prev, *iparts, b, nb, False,
             )
         if b == num_blocks - 1:
-            ld = chol_lib.chol_wide(diag)
+            fparts = chol_lib.chol_parts(diag)
         else:
-            ld, ldi = chol_lib.chol_and_inv(diag)
-            sub_prev, ldi_prev = sub, ldi
-        l = _writeback_diag_only(l, ld, b, nb)
+            p11, pa21, p22, j11, j21, j22 = chol_lib.chol_inv_parts(diag)
+            fparts = (p11, pa21, p22)
+            sub_prev, iparts = sub, (j11, j21, j22)
+        l = diag_parts_writeback(l, fparts, b, nb)
     return l[:, :t, :t]
 
 

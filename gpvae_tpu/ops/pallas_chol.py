@@ -138,10 +138,10 @@ def _chol_inv_kernel_flat(a_ref, l_ref, x_ref):
     """Factor AND invert in one pass: after column j of L is final, row j of
     X = L^{-1} follows by forward substitution using the already-written
     rows (X rows >= j still zero, so the full contraction needs no mask)."""
-    t_pad = a_ref.shape[1]
-    a = a_ref[0]
-    lv = l_ref.at[0]
-    xv = x_ref.at[0]
+    _chol_inv_body_flat(a_ref[0], l_ref.at[0], x_ref.at[0], a_ref.shape[1])
+
+
+def _chol_inv_body_flat(a, lv, xv, t_pad):
     rows = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
     xv[...] = jnp.zeros_like(a)
     # zero-init L too: the substitution row-read below contracts the full
@@ -167,10 +167,11 @@ def _chol_inv_kernel_blocked(a_ref, l_ref, x_ref, pw=_PANEL):
     per panel once its L rows are final, contracting only the first
     ``base+pw`` X rows (rows >= j are still zero — and L[j, c] = 0 for
     c in (j, base+pw] by the row mask, so the panel-aligned read is exact)."""
-    t_pad = a_ref.shape[1]
-    a = a_ref[0]
-    lv = l_ref.at[0]
-    xv = x_ref.at[0]
+    _chol_inv_body_blocked(a_ref[0], l_ref.at[0], x_ref.at[0],
+                           a_ref.shape[1], pw)
+
+
+def _chol_inv_body_blocked(a, lv, xv, t_pad, pw=_PANEL):
     rows_t = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
     xv[...] = jnp.zeros_like(a)
     lv[...] = jnp.zeros_like(a)
@@ -487,6 +488,68 @@ def _slice11_jit(d, interpret):
     )(d.astype(jnp.float32))
 
 
+def _inv21_kernel(i11_ref, a21_ref, i22_ref, o_ref):
+    t1 = jax.lax.dot_general(
+        a21_ref[...], i11_ref[...], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    o_ref[...] = -jax.lax.dot_general(
+        i22_ref[...], t1, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _inv21_jit(i11, a21, i22, interpret):
+    """``inv21 = -i22 (a21 i11)`` — the off-diagonal block of the 128-wide
+    inverse, identical arithmetic to :func:`_assemble128_kernel` but
+    without assembling (or writing) the full [N, 128, 128] matrices."""
+    n = i11.shape[0]
+    m = _slab_div(n, 32)
+    half = pl.BlockSpec((m, 64, 64), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _inv21_kernel,
+        grid=(n // m,),
+        in_specs=[half] * 3,
+        out_specs=half,
+        out_shape=jax.ShapeDtypeStruct((n, 64, 64), jnp.float32),
+        compiler_params=_glue_params(4 * (2 * 4 * 64 * 64 + 64 * 64), m),
+        interpret=interpret,
+    )(i11, a21, i22)
+
+
+def chol_inv_128_parts(
+    d: jnp.ndarray,
+) -> tuple[jnp.ndarray, ...]:
+    """Block parts ``(l11, a21, l22, i11, i21, i22)`` (each [N, 64, 64]) of
+    the 128-wide (L, L^{-1}) — :func:`chol_and_inv_128` WITHOUT the final
+    [N, 128, 128] assembly writes.  Consumers that only need the blocks
+    (the deferred-column flow: the diag writeback assembles in-kernel, the
+    defer kernels latch the inverse from parts into VMEM scratch) skip
+    two full-tile HBM writes plus the DUS round-trip per block step."""
+    assert d.shape[-1] == 128 and not _interpret()
+    d11 = _slice11_jit(d, False)
+    l11, i11 = chol_inv_small_batched(d11)
+    a21, s22 = _schur64_jit(d, i11, False)
+    l22, i22 = chol_inv_small_batched(s22)
+    i21 = _inv21_jit(i11, a21, i22, False)
+    return l11, a21, l22, i11, i21, i22
+
+
+def chol_128_parts(d: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """Factor-only parts ``(l11, a21, l22)`` of the 128-wide L (final
+    diagonal blocks — nothing consumes their inverse)."""
+    assert d.shape[-1] == 128 and not _interpret()
+    d11 = _slice11_jit(d, False)
+    l11, i11 = chol_inv_small_batched(d11)
+    a21, s22 = _schur64_jit(d, i11, False)
+    l22 = chol_small_batched(s22)
+    return l11, a21, l22
+
+
 def chol_and_inv_128(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(L, L^{-1}) of batched PSD ``d [N, 128, 128]`` with the recursion
     glue fused into Pallas kernels (TPU only; callers fall back to the
@@ -515,23 +578,30 @@ def chol_128(d: jnp.ndarray) -> jnp.ndarray:
 # Fused gram construction + Cholesky
 # ---------------------------------------------------------------------------
 
+def _gram_lane(times_ref, ls_ref, mask_ref, var_ref, noise, kfn, t_pad):
+    """Gram bank ``[T, T, L]`` built in lane layout from the per-matrix
+    time vectors — exact ``kernels.gram`` semantics (masked-to-identity)."""
+    tt = times_ref[0]            # [T, L]
+    ls = ls_ref[0]               # [1, L] (sublane-padded scalar row)
+    m = mask_ref[0]              # [T, L]
+    var = var_ref[0]             # [1, L]
+    dt = tt[:, None, :] - tt[None, :, :]          # [T, T, L]
+    a = var[None, :, :] * kfn(dt, ls[None, :, :])  # [T, T, L]
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad, 1), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad, 1), 1)
+    ).astype(jnp.float32)
+    a = (1.0 - noise) * a + noise * eye
+    mm = m[:, None, :] * m[None, :, :]
+    return a * mm + (1.0 - m[:, None, :]) * eye
+
+
 def _make_gram_chol_kernel(kernel_name: str, noise: float, t_pad: int):
     kfn = kernels_lib.get_kernel(kernel_name)
 
     def kernel(times_ref, ls_ref, mask_ref, var_ref, l_ref):
-        tt = times_ref[0]            # [T, L]
-        ls = ls_ref[0]               # [1, L] (sublane-padded scalar row)
-        m = mask_ref[0]              # [T, L]
-        var = var_ref[0]             # [1, L]
-        dt = tt[:, None, :] - tt[None, :, :]          # [T, T, L]
-        a = var[None, :, :] * kfn(dt, ls[None, :, :])  # [T, T, L]
-        eye = (
-            jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad, 1), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad, 1), 1)
-        ).astype(jnp.float32)
-        a = (1.0 - noise) * a + noise * eye
-        mm = m[:, None, :] * m[None, :, :]
-        a = a * mm + (1.0 - m[:, None, :]) * eye
+        a = _gram_lane(times_ref, ls_ref, mask_ref, var_ref, noise, kfn,
+                       t_pad)
         _chol_lane_body(a, l_ref.at[0], t_pad)
 
     return kernel
@@ -648,3 +718,89 @@ def gram_chol_fused(
     l = jnp.transpose(out, (0, 3, 1, 2)).reshape(n_pad, t_pad, t_pad)
     l = l[:n, :t, :t]
     return jnp.tril(l).reshape(b, z, t, t)
+
+
+def _make_gram_chol_inv_kernel(kernel_name: str, noise: float, t_pad: int):
+    kfn = kernels_lib.get_kernel(kernel_name)
+
+    def kernel(times_ref, ls_ref, mask_ref, var_ref, l_ref, x_ref):
+        a = _gram_lane(times_ref, ls_ref, mask_ref, var_ref, noise, kfn,
+                       t_pad)
+        if BLOCKED_LANE_BODY and t_pad % _PANEL == 0:
+            _chol_inv_body_blocked(a, l_ref.at[0], x_ref.at[0], t_pad)
+        else:
+            _chol_inv_body_flat(a, l_ref.at[0], x_ref.at[0], t_pad)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel", "noise", "interpret")
+)
+def gram_chol_inv_small(
+    times: jnp.ndarray,
+    lengthscales: jnp.ndarray,
+    mask: jnp.ndarray,
+    variance: jnp.ndarray,
+    *,
+    kernel: str = "rbf",
+    noise: float = kernels_lib.DEFAULT_NOISE,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused gram + (L, L^{-1}) for a flat bank: ``times [N, T]`` (T <= 64),
+    ``lengthscales/variance [N]``, ``mask [N, T]`` float — the gram is
+    built in-kernel (``kernels.gram`` semantics) and factored+inverted in
+    the same lane pass.  Feeds the first diagonal block of the fused
+    large-T flow (``pallas_big.gram_chol_inv_128_parts``) so the k00 gram
+    never exists in HBM."""
+    if interpret is None:
+        interpret = _interpret()
+    n, t = times.shape
+    assert t <= LANE_BATCH_MAX_T, t
+    t_pad = max(_round_up(t, 8), 8)
+    lanes = _lanes_for(t_pad)
+    n_pad = _round_up(max(n, 1), lanes)
+    f32 = jnp.float32
+
+    def pad_n(x, fill=0.0):
+        if n_pad == n:
+            return x
+        pad_width = [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad_width, constant_values=fill)
+
+    tt = pad_n(times.astype(f32))
+    ls = pad_n(lengthscales.astype(f32).reshape(n), fill=1.0)
+    mk = pad_n(mask.astype(f32))  # padded matrices fully masked -> identity
+    var = pad_n(jnp.asarray(variance, f32).reshape(n), fill=1.0)
+    if t_pad != t:
+        tt = jnp.pad(tt, ((0, 0), (0, t_pad - t)))
+        mk = jnp.pad(mk, ((0, 0), (0, t_pad - t)))
+    g = n_pad // lanes
+
+    def group(x):  # [N, T] -> [G, T, lanes]
+        return jnp.transpose(x.reshape(g, lanes, -1), (0, 2, 1))
+
+    body = _make_gram_chol_inv_kernel(kernel, noise, t_pad)
+    vec = pl.BlockSpec((1, t_pad, lanes), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    par = pl.BlockSpec((1, 1, lanes), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((1, t_pad, t_pad, lanes), lambda i: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    l_out, x_out = pl.pallas_call(
+        body,
+        grid=(g,),
+        in_specs=[vec, par, vec, par],
+        out_specs=(mat, mat),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, t_pad, t_pad, lanes), f32),
+            jax.ShapeDtypeStruct((g, t_pad, t_pad, lanes), f32),
+        ),
+        interpret=interpret,
+    )(group(tt), group(ls[:, None]), group(mk), group(var[:, None]))
+
+    def unpack(o):
+        o = jnp.transpose(o, (0, 3, 1, 2)).reshape(n_pad, t_pad, t_pad)
+        return o[:n, :t, :t]
+
+    return unpack(l_out), unpack(x_out)

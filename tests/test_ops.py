@@ -303,20 +303,21 @@ def _run_deferred_plain(k, nb):
     num_blocks = k.shape[-1] // nb
     ld, ldi = chol_lib.chol_and_inv(k[:, :nb, :nb])
     l = pallas_big.init_l(k, ld, ldi, nb)
-    sub_prev = ldi_prev = None
+    sub_prev = iparts = None
     for b in range(1, num_blocks):
         if sub_prev is None:
             diag, sub = pallas_big.hist_panel_split(l, k, b, nb)
         else:
             l, diag, sub = pallas_big._hist2_defer_jit(
-                l, k, sub_prev, ldi_prev, b, nb, True
+                l, k, sub_prev, *iparts, b, nb, True
             )
         if b == num_blocks - 1:
-            ld = chol_lib.chol_wide(diag)
+            fparts = chol_lib.chol_parts(diag)
         else:
-            ld, ldi = chol_lib.chol_and_inv(diag)
-            sub_prev, ldi_prev = sub, ldi
-        l = pallas_big._writeback_diag_only(l, ld, b, nb)
+            p11, pa21, p22, j11, j21, j22 = chol_lib.chol_inv_parts(diag)
+            fparts = (p11, pa21, p22)
+            sub_prev, iparts = sub, (j11, j21, j22)
+        l = pallas_big.diag_parts_writeback(l, fparts, b, nb)
     return l
 
 
@@ -356,29 +357,72 @@ def test_deferred_gram_flow_vs_oracle():
         jnp.asarray(tt[:, :nb]), ls[:, None, None], noise=1e-2,
         variance=var[:, None, None],
     )
-    ld, ldi = chol_lib.chol_and_inv(k00)
+    l11, a21, l22, i11, i21, i22 = chol_lib.chol_inv_parts(k00)
     lsb = jnp.broadcast_to(ls[:, None], (n, 128))
     varb = jnp.broadcast_to(var[:, None], (n, 128))
-    l = pallas_big._gram_init0_jit(ld, t, nb, True)
-    sub_prev = ldi_prev = None
+    l = pallas_big._init0_parts_jit(l11, a21, l22, t, nb, True)
+    sub_prev = None
+    iparts = (i11, i21, i22)
     for b in range(1, t // nb):
         if b == 1:
             l, diag, sub = pallas_big._gram_defer1_jit(
-                l, jnp.asarray(tt), mask, lsb, varb, ldi, nb, "rbf", 1e-2,
-                True,
+                l, jnp.asarray(tt), mask, lsb, varb, *iparts, nb, "rbf",
+                1e-2, True,
             )
         else:
             l, diag, sub = pallas_big._gram_hist2_defer_jit(
-                l, jnp.asarray(tt), mask, lsb, varb, sub_prev, ldi_prev,
+                l, jnp.asarray(tt), mask, lsb, varb, sub_prev, *iparts,
                 b, nb, "rbf", 1e-2, True,
             )
         if b == t // nb - 1:
-            ld = chol_lib.chol_wide(diag)
+            fparts = chol_lib.chol_parts(diag)
         else:
-            ld, ldi = chol_lib.chol_and_inv(diag)
-            sub_prev, ldi_prev = sub, ldi
-        l = pallas_big._writeback_diag_only(l, ld, b, nb)
+            p11, pa21, p22, j11, j21, j22 = chol_lib.chol_inv_parts(diag)
+            fparts = (p11, pa21, p22)
+            sub_prev, iparts = sub, (j11, j21, j22)
+        l = pallas_big.diag_parts_writeback(l, fparts, b, nb)
     err = np.abs(np.tril(np.asarray(l)) - want).max() / np.abs(want).max()
     # cond(K) ~ 6.5e3 here; same fp32 error family as the non-deferred
     # flow (1.6e-5 measured on identical inputs)
     assert err < 2e-4, err
+
+
+def test_gram_chol_inv_128_parts_vs_xla_gram():
+    """The fully-fused k00 parts (gram built in the lane + Schur kernels,
+    inverse never assembled) match chol_and_inv of the XLA-built gram."""
+    from gpvae_tpu.ops import chol as chol_lib
+    from gpvae_tpu.ops import pallas_big
+
+    rng = np.random.default_rng(21)
+    n = 8
+    tt = np.sort(rng.uniform(0, 30, (n, 128)), -1).astype(np.float32)
+    ls = jnp.asarray(rng.uniform(2.0, 8.0, n).astype(np.float32))
+    var = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+    mask = (rng.random((n, 128)) < 0.9).astype(np.float32)
+    lsb = jnp.broadcast_to(ls[:, None], (n, 128))
+    varb = jnp.broadcast_to(var[:, None], (n, 128))
+    l11, a21, l22, i11, i21, i22 = pallas_big.gram_chol_inv_128_parts(
+        jnp.asarray(tt), jnp.asarray(mask), lsb, varb, "rbf", 1e-2,
+    )
+    k00 = kernels.gram(
+        jnp.asarray(tt), ls[:, None, None], noise=1e-2,
+        variance=var[:, None, None], mask=jnp.asarray(mask) > 0.5,
+    )
+    # compare against the fp64 oracle, NOT another fp32 path: at
+    # cond(K) ~ 1.1e4 two correct fp32 factorizations legitimately
+    # disagree by ~3e-2 on the worst matrix (measured: chol_and_inv under
+    # the x64 CPU env drifts 2.6e-2 from fp64 here while these parts stay
+    # at 2.7e-5)
+    want = np.linalg.cholesky(np.asarray(k00, np.float64))
+    l_got = np.block([
+        [np.asarray(l11), np.zeros((n, 64, 64), np.float32)],
+        [np.asarray(a21), np.asarray(l22)],
+    ])
+    i_got = np.block([
+        [np.asarray(i11), np.zeros((n, 64, 64), np.float32)],
+        [np.asarray(i21), np.asarray(i22)],
+    ])
+    assert np.abs(l_got - want).max() / np.abs(want).max() < 2e-4
+    i_want = np.linalg.inv(want)
+    scale = np.abs(i_want).max()
+    assert np.abs(i_got - i_want).max() / scale < 5e-4
