@@ -335,10 +335,13 @@ def time_cholesky_fused(t: int, n: int, reps: int = 6, inner: int | None = None,
 
 
 def time_train_t1024(n_stack: int = 4, n_rounds: int = 3,
-                     verbose: bool = False) -> float:
+                     verbose: bool = False,
+                     structured: str = "toeplitz") -> float:
     """BASELINE config 3 training throughput: T=1024 uniform shared grid,
-    Toeplitz structured prior (``t1024_toeplitz`` preset shapes), full
-    ELBO + VJP, device-side scan."""
+    full ELBO + VJP, device-side scan.  ``structured`` picks the prior
+    path: "toeplitz" (the ``t1024_toeplitz`` preset / explicit structured
+    option) or "dense" (what ``auto`` resolves to — the measured winner
+    since round 3c)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -353,7 +356,7 @@ def time_train_t1024(n_stack: int = 4, n_rounds: int = 3,
         prior="gp", posterior="gp",
         prior_lengthscales=(9.0, 3.0), posterior_lengthscales=(9.0, 3.0),
         encoder="dense", decoder="dense",
-        shared_time_grid=True, structured_prior="toeplitz",
+        shared_time_grid=True, structured_prior=structured,
     )
     model = GPVAE(cfg)
     rng = np.random.default_rng(0)
@@ -514,6 +517,8 @@ def main(verbose: bool = False):
                            verbose=verbose)
     sps_conv = _guarded(time_train_conv, verbose=verbose)
     sps_t1024 = _guarded(time_train_t1024, verbose=verbose)
+    sps_t1024_dense = _guarded(time_train_t1024, verbose=verbose,
+                               structured="dense")
     tflops_256 = _guarded(time_cholesky, 256, 512, reps=6, verbose=verbose)
     tflops_1024 = _guarded(time_cholesky, 1024, 128, reps=4, verbose=verbose)
     tflops_f256 = _guarded(time_cholesky_fused, 256, 512, verbose=verbose)
@@ -547,6 +552,7 @@ def main(verbose: bool = False):
             "scaled_B256_xla_steps_per_sec": r(sps_xla_256),
             "mnist_conv_steps_per_sec": r(sps_conv),
             "t1024_toeplitz_steps_per_sec": r(sps_t1024),
+            "t1024_dense_steps_per_sec": r(sps_t1024_dense),
             "chol_logdet_tflops_T256_N512": r(tflops_256, 4),
             "chol_logdet_tflops_T1024_N128": r(tflops_1024, 4),
             "fused_gram_chol_logdet_tflops_T256_N512": r(tflops_f256, 4),

@@ -79,14 +79,16 @@ class GPVAEConfig:
     # BASELINE config 3, T=1024); "dense" forces the dense path.  "auto"
     # resolves at the first non-jit boundary (train.fit /
     # fit_data_parallel / the CLI call models.resolve_structured_prior
-    # with the first batch's times): toeplitz when the prior is a GP on a
-    # shared-uniform-full grid, dense otherwise.  Measured on v5e
-    # (driver-captured): the structured KL beats the dense-prior KL at
-    # T=1024 shared-grid since the O(T^2 log T) FFT application of the GS
-    # inverse landed (BENCH_r02 8.59 vs 11.82 ms; the earlier
-    # 8.5-vs-5.0 ms dense-matmul-application numbers are superseded —
-    # BASELINE.md round 3).  Under jit the grid cannot be validated,
-    # hence the host-side resolution step.
+    # with the first batch's times).  The measured winner has flipped
+    # twice on v5e as the dense path improved: the FFT-GS application made
+    # toeplitz the T=1024 winner under the round-3-interim ruler (8.59 vs
+    # 11.82 ms), then the round-3c parts-flow factorization made dense
+    # faster again (prior-KL 2.86 vs 3.41 ms; full training 192 vs 134
+    # steps/s at T=1024 B=8) — the sequential Durbin scan is now the
+    # structured path's floor.  "auto" therefore resolves to DENSE
+    # everywhere; "toeplitz" remains the explicit O(T^2)-memory/work
+    # option (BASELINE.md round 3c).  Under jit the grid cannot be
+    # validated, hence the host-side resolution step.
     structured_prior: str = "auto"
     # sparse inducing-point (FITC) prior for long sequences (sparse.py)
     num_inducing: int = 64
@@ -201,31 +203,19 @@ def resolve_structured_prior(
 
     Host-side (non-jit) companion to :func:`check_structured_grid`:
     explicit settings are validated and returned unchanged; ``auto``
-    becomes ``'toeplitz'`` when the prior is a GP on a shared uniform full
-    grid matching ``config.time_len`` (where the Durbin+FFT-GS KL measures
-    faster than the dense prior factorization on v5e — BASELINE.md round
-    3), and ``'dense'`` otherwise.  Train.fit / fit_data_parallel call
-    this with the first batch; library users composing their own loops
-    should too (under jit a wrong structured prior is silent).
+    becomes ``'dense'`` — since the round-3c parts-flow factorization the
+    dense prior path is the measured winner at every benchmarked size
+    (T=1024: prior-KL 2.86 vs 3.41 ms, training 192 vs 134 steps/s on
+    v5e; the structured path's sequential Durbin scan is its floor —
+    see GPVAEConfig.structured_prior).  Explicit ``'toeplitz'`` keeps the
+    O(T^2) structured option.  Train.fit / fit_data_parallel call this
+    with the first batch; library users composing their own loops should
+    too (under jit a wrong structured prior is silent).
     """
     if config.structured_prior != "auto":
         check_structured_grid(config, times, mask)
         return config
-    if config.prior != "gp" or not config.shared_time_grid:
-        return dataclasses.replace(config, structured_prior="dense")
-    import numpy as np
-    t_arr = np.asarray(times)
-    ok = t_arr.ndim == 2 and t_arr.shape[1] == config.time_len
-    if ok:
-        steps = np.diff(t_arr[0].astype(np.float64))
-        ok = steps.size > 0 and bool(
-            np.allclose(steps, steps[0], rtol=1e-4, atol=1e-6)
-        ) and float(steps[0]) > 0.0
-    if ok and mask is not None:
-        ok = bool(np.all(np.asarray(mask)))
-    return dataclasses.replace(
-        config, structured_prior="toeplitz" if ok else "dense"
-    )
+    return dataclasses.replace(config, structured_prior="dense")
 
 
 @dataclasses.dataclass

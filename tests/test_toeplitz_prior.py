@@ -132,8 +132,9 @@ def test_t1024_preset_registered_and_auto_threshold():
 
 
 def test_resolve_structured_prior_auto():
-    """'auto' resolves against the first real batch at the host boundary:
-    toeplitz on a shared-uniform-full grid, dense otherwise; explicit
+    """'auto' resolves to DENSE at the host boundary — since the round-3c
+    parts-flow factorization the dense prior path is the measured winner
+    at every benchmarked size (BASELINE.md round 3c) — while explicit
     settings are validated, not overridden."""
     from gpvae_tpu.models import resolve_structured_prior
 
@@ -145,30 +146,19 @@ def test_resolve_structured_prior_auto():
         np.arange(64, dtype=np.float32) * 0.5, (3, 64)
     )
     full = np.ones((3, 64), bool)
-    assert resolve_structured_prior(auto, uniform, full).toeplitz_prior
-    # uniform grid, no mask given -> toeplitz too
-    assert resolve_structured_prior(auto, uniform, None).toeplitz_prior
-    # non-uniform grid -> dense
+    assert resolve_structured_prior(
+        auto, uniform, full
+    ).structured_prior == "dense"
     ragged = np.sort(np.random.default_rng(0).uniform(0, 60, (3, 64)), -1)
-    r = resolve_structured_prior(auto, ragged.astype(np.float32), full)
-    assert r.structured_prior == "dense"
-    # runtime T != config.time_len -> dense
-    short = resolve_structured_prior(auto, uniform[:, :32], full[:, :32])
-    assert short.structured_prior == "dense"
-    # holes in the mask -> dense
-    holey = full.copy(); holey[0, 5] = False
     assert resolve_structured_prior(
-        auto, uniform, holey
+        auto, ragged.astype(np.float32), full
     ).structured_prior == "dense"
-    # non-GP prior or unshared grid -> dense regardless of the data
-    std = dataclasses.replace(
-        auto, prior="standard", posterior="diag", latent_dim=base.latent_dim
-    )
-    assert resolve_structured_prior(
-        std, uniform, full
-    ).structured_prior == "dense"
-    # explicit toeplitz on a bad grid still raises (validation preserved)
+    # explicit toeplitz on a good grid passes through (validated)
     explicit = dataclasses.replace(auto, structured_prior="toeplitz")
+    assert resolve_structured_prior(
+        explicit, uniform, full
+    ).structured_prior == "toeplitz"
+    # explicit toeplitz on a bad grid still raises (validation preserved)
     with pytest.raises(ValueError):
         resolve_structured_prior(explicit, ragged.astype(np.float32), full)
     # explicit dense passes through untouched
@@ -178,8 +168,9 @@ def test_resolve_structured_prior_auto():
 
 def test_fit_resolves_auto_to_toeplitz():
     """train.fit on a shared uniform grid with structured_prior='auto'
-    trains the Toeplitz KL path (finite loss; model swap is invisible to
-    the caller's params)."""
+    resolves at the host boundary (to the dense path — the measured
+    winner) and trains with finite loss; the model swap is invisible to
+    the caller's params."""
     from gpvae_tpu import train as train_lib
     from gpvae_tpu.data.batching import Batcher
 
