@@ -215,6 +215,26 @@ def hist_panel_split(l, k, block: int, nb: int):
 # Diagonal extraction (logdet feeder)
 # ---------------------------------------------------------------------------
 
+def _diag_slab(n: int) -> int | None:
+    """Batch slab for the diagonal-tile kernel.  The [m, nb] out block
+    puts m on the SUBLANE axis, so Mosaic requires m divisible by 8
+    unless the block spans the whole array (m == n) — e.g. N = 170 must
+    not pick its divisor 34.  Returns None when no valid slab exists
+    within ~4x the budget (callers fall back to the jnp.diagonal
+    gather)."""
+    nb = 128
+    budget = max(1, (_SLAB_BYTES // 2) // (4 * nb * nb))
+    best = None
+    for m in range(8, min(n, budget) + 1, 8):
+        if n % m == 0:
+            best = m
+    if best is not None:
+        return best
+    if n <= budget:  # odd-divisor batch small enough for one block
+        return n
+    return None
+
+
 def _diag_kernel(l_ref, out_ref):
     tile = l_ref[...]                                       # [m, nb, nb]
     nb = tile.shape[-1]
@@ -229,9 +249,7 @@ def _diag_kernel(l_ref, out_ref):
 def _diag_extract_jit(l, interpret):
     n, t, _ = l.shape
     nb = 128
-    m = max(1, min(n, (_SLAB_BYTES // 2) // (4 * nb * nb)))
-    while n % m != 0:
-        m -= 1
+    m = _diag_slab(n)
     return pl.pallas_call(
         _diag_kernel,
         grid=(n // m, t // nb),
@@ -257,7 +275,7 @@ def diag_extract(l):
     """
     n, t, t_ = l.shape
     assert t == t_
-    if _interpret() or t % 128 != 0:
+    if _interpret() or t % 128 != 0 or _diag_slab(n) is None:
         return jnp.diagonal(l, axis1=-2, axis2=-1)
     return _diag_extract_jit(l, False)
 

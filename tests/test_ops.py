@@ -426,3 +426,28 @@ def test_gram_chol_inv_128_parts_vs_xla_gram():
     i_want = np.linalg.inv(want)
     scale = np.abs(i_want).max()
     assert np.abs(i_got - i_want).max() / scale < 5e-4
+
+
+def test_diag_slab_mosaic_legal():
+    """diag_extract's batch slab must be Mosaic-legal: a multiple of 8,
+    or the whole batch, or None (gather fallback) — N=170 used to pick
+    its divisor 34 and fail to lower on TPU; the whole-array fallback
+    must also respect the scoped-VMEM budget (N=170 at T=768 measured a
+    21.4 MB stack allocation against the 16 MB limit)."""
+    from gpvae_tpu.ops import pallas_big
+
+    for n in (2, 8, 10, 16, 48, 128, 170, 512, 1000):
+        m = pallas_big._diag_slab(n)
+        assert m is None or m % 8 == 0 or m == n, (n, m)
+        if m is not None:
+            assert n % m == 0 and m <= max(
+                48, (pallas_big._SLAB_BYTES // 2) // (4 * 128 * 128)
+            ), (n, m)
+    assert pallas_big._diag_slab(170) is None  # gather fallback
+    # the fallback still produces the right values (CPU path)
+    rng = np.random.default_rng(5)
+    l = jnp.asarray(rng.standard_normal((3, 128, 128)), jnp.float32)
+    got = pallas_big.diag_extract(l)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(jnp.diagonal(l, axis1=-2, axis2=-1))
+    )
