@@ -84,8 +84,13 @@ def _toy_arrays(t: int, batch: int, n_stack: int):
 
 
 def time_train(method: str, t: int = 45, batch: int = 20,
-               n_stack: int = 20, n_rounds: int = 4,
+               n_stack: int = 256, n_rounds: int = 12,
                verbose: bool = False) -> float:
+    """Each timed sync must cover >= ~300 ms of device work (same rule as
+    time_cholesky): the old n_stack=20 x reps=4 put only ~8-16 ms of scan
+    work under a 26-44 ms-variance tunnel sync, making the headline a
+    coin flip between runs (measured 11.5k vs 5.7k steps/s on identical
+    code).  n_stack=256 steps/chunk x 12 chunks ~= 0.3-0.6 s per sync."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -157,8 +162,8 @@ def time_train(method: str, t: int = 45, batch: int = 20,
     return n_stack / dt_chunk
 
 
-def time_train_conv(t: int = 20, batch: int = 5, n_stack: int = 10,
-                    n_rounds: int = 4, verbose: bool = False) -> float:
+def time_train_conv(t: int = 20, batch: int = 5, n_stack: int = 64,
+                    n_rounds: int = 8, verbose: bool = False) -> float:
     """MovingMNIST conv config steps/sec (B=5 seqs, T=20, Z=100, shared
     fixed grid — src/Models/Full_GP_VAE_fixed_for_MovMnist.py workload)."""
     import jax
@@ -334,7 +339,7 @@ def time_cholesky_fused(t: int, n: int, reps: int = 6, inner: int | None = None,
     return n * (t ** 3) / 3.0 / dt / 1e12
 
 
-def time_train_t1024(n_stack: int = 4, n_rounds: int = 3,
+def time_train_t1024(n_stack: int = 16, n_rounds: int = 3,
                      verbose: bool = False,
                      structured: str = "toeplitz") -> float:
     """BASELINE config 3 training throughput: T=1024 uniform shared grid,
@@ -511,10 +516,10 @@ def main(verbose: bool = False):
     host_roundtrip_latency()
     sps_first = time_train("pallas", verbose=verbose)  # headline: may raise
     sps_xla = _guarded(time_train, "xla", verbose=verbose)
-    sps_pallas_256 = _guarded(time_train, "pallas", batch=256, n_stack=10,
-                              verbose=verbose)
-    sps_xla_256 = _guarded(time_train, "xla", batch=256, n_stack=10,
-                           verbose=verbose)
+    sps_pallas_256 = _guarded(time_train, "pallas", batch=256, n_stack=64,
+                              n_rounds=8, verbose=verbose)
+    sps_xla_256 = _guarded(time_train, "xla", batch=256, n_stack=64,
+                           n_rounds=8, verbose=verbose)
     sps_conv = _guarded(time_train_conv, verbose=verbose)
     sps_t1024 = _guarded(time_train_t1024, verbose=verbose)
     sps_t1024_dense = _guarded(time_train_t1024, verbose=verbose,
