@@ -339,7 +339,7 @@ def time_cholesky_fused(t: int, n: int, reps: int = 6, inner: int | None = None,
     return n * (t ** 3) / 3.0 / dt / 1e12
 
 
-def time_train_t1024(n_stack: int = 16, n_rounds: int = 3,
+def time_train_t1024(n_stack: int = 64, n_rounds: int = 3,
                      verbose: bool = False,
                      structured: str = "toeplitz") -> float:
     """BASELINE config 3 training throughput: T=1024 uniform shared grid,
@@ -449,10 +449,19 @@ def time_dp_step_virtual_mesh(timeout: float = 900.0) -> float | None:
 
 
 def time_toeplitz_kl(t: int = 1024, b: int = 8, z: int = 2,
-                     reps: int = 6, verbose: bool = False) -> dict:
+                     reps: int = 4, inner: int = 128,
+                     verbose: bool = False) -> dict:
     """Structured-prior KL vs dense-prior KL on a uniform grid (BASELINE
-    config 3): one Durbin scan + GS-inverse matmuls vs a dense prior
-    factorization.  Returns ms for both paths."""
+    config 3): one Durbin scan + GS-inverse FFT applications vs a dense
+    prior factorization.  Returns ms for both paths.
+
+    Round-4 methodology fix (VERDICT r3 weak #1): the old version closed
+    both arms over *constant* times/lengthscales, so the dense arm's
+    factorization, trace and logdet terms constant-folded at compile time
+    (BENCH_r03 recorded dense = 0.0 ms).  Both arms now take the prior
+    lengthscales and times as traced, barrier-chained arguments and run
+    under the saturated device-side fori_loop ruler (>= 300 ms of device
+    work per host sync, like time_cholesky)."""
     import jax
     import jax.numpy as jnp
     from gpvae_tpu import gp, kernels
@@ -464,26 +473,133 @@ def time_toeplitz_kl(t: int = 1024, b: int = 8, z: int = 2,
     mu = jnp.asarray(rng.standard_normal((b, t, z)), jnp.float32)
     ls_q = jnp.asarray([5.0, 2.0], jnp.float32)[:z]
     ls_p = jnp.asarray([9.0, 3.0], jnp.float32)[:z]
-    step = float(times[0, 1] - times[0, 0])
     l_q = gp.chol_gram_bank(times[:1], ls_q)  # shared posterior factor
 
     @jax.jit
-    def dense(mu):
-        l_p = gp.chol_gram_bank(times[:1], ls_p)
-        return jnp.sum(gp.gp_kl(mu, l_q, l_p))
+    def dense(times, ls_p, mu):
+        def body(_, acc):
+            tt, ls, m_, _a = jax.lax.optimization_barrier(
+                (times, ls_p, mu, acc)
+            )
+            l_p = gp.chol_gram_bank(tt[:1], ls)
+            return acc + jnp.sum(gp.gp_kl(m_, l_q, l_p))
+        return jax.lax.fori_loop(0, inner, body, jnp.float32(0.0))
 
     @jax.jit
-    def toep(mu):
-        row = kernels.toeplitz_row(t, step, ls_p)
-        return jnp.sum(gp.gp_kl_toeplitz_prior(mu, l_q, row))
+    def toep(times, ls_p, mu):
+        def body(_, acc):
+            tt, ls, m_, _a = jax.lax.optimization_barrier(
+                (times, ls_p, mu, acc)
+            )
+            row = kernels.toeplitz_row(t, tt[0, 1] - tt[0, 0], ls)
+            return acc + jnp.sum(gp.gp_kl_toeplitz_prior(m_, l_q, row))
+        return jax.lax.fori_loop(0, inner, body, jnp.float32(0.0))
 
-    float(dense(mu)); float(toep(mu))
-    dt_dense = timed_median(lambda: dense(mu), reps)
-    dt_toep = timed_median(lambda: toep(mu), reps)
+    float(dense(times, ls_p, mu)); float(toep(times, ls_p, mu))
+    dt_dense = timed_median(lambda: dense(times, ls_p, mu), reps) / inner
+    dt_toep = timed_median(lambda: toep(times, ls_p, mu), reps) / inner
     if verbose:
         print(f"[bench] toeplitz KL T={t}: dense={dt_dense*1e3:.2f}ms "
               f"toeplitz={dt_toep*1e3:.2f}ms", flush=True)
     return {"dense_ms": dt_dense * 1e3, "toeplitz_ms": dt_toep * 1e3}
+
+
+def time_sparse_t4096(n_stack: int = 64, n_rounds: int = 4,
+                      kl_inner: int = 128, kl_reps: int = 4,
+                      verbose: bool = False) -> dict:
+    """BASELINE config 4 evidence: the ``sparse_t4096`` preset shape
+    (B=8, T=4096, Z=8, FITC m=64 inducing points, diag posterior) —
+    training steps/s (full ELBO + VJP, device-side scan) and the FITC
+    prior-KL forward in ms (saturated fori_loop ruler)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gpvae_tpu import configs, elbo as elbo_lib, sparse
+    from gpvae_tpu.models import GPVAE
+    from gpvae_tpu.train import TrainConfig, TrainState, create_train_state
+
+    preset = configs.get("sparse_t4096")
+    cfg = preset.model
+    t, batch, z = cfg.time_len, preset.batch_size, cfg.latent_dim
+    model = GPVAE(cfg)
+    rng = np.random.default_rng(0)
+    x = (rng.random((n_stack, batch, t, 15)) < 0.4).astype(np.float32)
+    times = np.broadcast_to(
+        np.arange(t, dtype=np.float32), (n_stack, batch, t)
+    ).copy()
+    mask = np.ones((n_stack, batch, t), bool)
+
+    batch0 = {"x": x[0], "times": times[0], "mask": mask[0]}
+    state, tx = create_train_state(model, batch0, TrainConfig())
+    sched = elbo_lib.BetaSchedule()
+
+    def one_step(state, b):
+        rng_key, sample_key = jax.random.split(state.rng)
+        beta = sched(state.step)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params}, b["x"], b["times"], b["mask"],
+                beta=beta, rngs={"sample": sample_key},
+            )
+            return out.loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        return TrainState(
+            params=optax.apply_updates(state.params, updates),
+            opt_state=opt_state, step=state.step + 1, rng=rng_key,
+        ), loss
+
+    @jax.jit
+    def run_chunk(state, xs):
+        state, losses = jax.lax.scan(one_step, state, xs)
+        return state, losses[-1]
+
+    stacked = {
+        "x": jnp.asarray(x), "times": jnp.asarray(times),
+        "mask": jnp.asarray(mask),
+    }
+    t0 = time.perf_counter()
+    state, loss = run_chunk(state, stacked)
+    assert np.isfinite(float(loss)), "non-finite sparse_t4096 training loss"
+    if verbose:
+        print(f"[bench] sparse_t4096 compile+warm "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+    box = {"state": state}
+
+    def run_once():
+        box["state"], loss = run_chunk(box["state"], stacked)
+        return loss
+
+    dt_chunk = timed_median(run_once, n_rounds)
+    steps_per_sec = n_stack / dt_chunk
+
+    # FITC prior-KL forward, barrier-chained saturated loop
+    tt = jnp.asarray(times[0])
+    mu = jnp.asarray(rng.standard_normal((batch, t, z)), jnp.float32)
+    log_var = jnp.zeros((batch, t, z), jnp.float32)
+    ls = jnp.full((z,), float(cfg.prior_lengthscales[0]), jnp.float32)
+    s_times = jnp.linspace(*cfg.inducing_time_range, cfg.num_inducing)
+
+    @jax.jit
+    def kl_run(mu):
+        def body(_, acc):
+            m_, _a = jax.lax.optimization_barrier((mu, acc))
+            kl = sparse.fitc_diag_kl(
+                m_, log_var, tt, s_times, ls, kernel=cfg.kernel,
+                noise=cfg.noise,
+            )
+            return acc + jnp.sum(kl)
+        return jax.lax.fori_loop(0, kl_inner, body, jnp.float32(0.0))
+
+    float(kl_run(mu))
+    dt_kl = timed_median(lambda: kl_run(mu), kl_reps) / kl_inner
+    if verbose:
+        print(f"[bench] sparse_t4096: {steps_per_sec:.1f} steps/s, "
+              f"KL {dt_kl*1e3:.3f} ms", flush=True)
+    return {"steps_per_sec": steps_per_sec, "fitc_kl_ms": dt_kl * 1e3}
 
 
 def _guarded(fn, *args, **kwargs):
@@ -530,6 +646,7 @@ def main(verbose: bool = False):
     tflops_f1024 = _guarded(time_cholesky_fused, 1024, 128, reps=4,
                             verbose=verbose)
     toep = _guarded(time_toeplitz_kl, verbose=verbose) or {}
+    sp4096 = _guarded(time_sparse_t4096, verbose=verbose) or {}
     dp_step = _guarded(time_dp_step_virtual_mesh)
     # re-run the headline last and report best-of: the first run eats any
     # residual tunnel/page-in warmup, the last any transient contention
@@ -564,6 +681,8 @@ def main(verbose: bool = False):
             "fused_gram_chol_logdet_tflops_T1024_N128": r(tflops_f1024, 4),
             "toeplitz_prior_kl_T1024_ms": r(toep.get("toeplitz_ms")),
             "dense_prior_kl_T1024_ms": r(toep.get("dense_ms")),
+            "sparse_t4096_steps_per_sec": r(sp4096.get("steps_per_sec")),
+            "sparse_t4096_fitc_kl_ms": r(sp4096.get("fitc_kl_ms"), 3),
             "dp_scale_virtual8_step_seconds": r(dp_step, 3),
             "host_roundtrip_ms": round(host_roundtrip_latency() * 1e3, 1),
         },

@@ -97,6 +97,14 @@ class GPVAEConfig:
     # as data (bench.py's xla-baseline path uses this; no module patching):
     # "auto" | "fused" | "xla"
     cov_impl: str = "auto"
+    # matmul precision of the DENSE encoder/decoder: "highest" (default —
+    # the TPU bf16-pass default was measured to dominate the shipped
+    # config's fp64-parity deviation, 2.6e-4 vs the 1e-4 north star, and
+    # these matmuls are ~15x32 so HIGHEST costs nil; BASELINE.md audit) or
+    # "default" (backend default passes).  Conv nets always use the
+    # backend default — their FLOPs are real and bf16 passes are the right
+    # trade there.
+    dense_precision: str = "highest"
 
     def __post_init__(self):
         if self.prior not in PRIORS:
@@ -128,6 +136,8 @@ class GPVAEConfig:
             )
         if self.cov_impl not in ("auto", "fused", "xla"):
             raise ValueError("cov_impl must be auto, fused, or xla")
+        if self.dense_precision not in ("highest", "default"):
+            raise ValueError("dense_precision must be highest or default")
         if self.structured_prior == "toeplitz" and not self.shared_time_grid:
             raise ValueError(
                 "the toeplitz structured prior requires shared_time_grid "
@@ -244,16 +254,23 @@ class GPVAE(nn.Module):
 
     def setup(self):
         c = self.config
+        dense_prec = (
+            jax.lax.Precision.HIGHEST if c.dense_precision == "highest"
+            else None
+        )
         if c.encoder == "dense":
             self.encoder_net = nets.DenseEncoder(
-                c.latent_dim, with_log_var=c.needs_log_var
+                c.latent_dim, with_log_var=c.needs_log_var,
+                precision=dense_prec,
             )
         else:
             self.encoder_net = nets.ConvEncoder(
                 c.latent_dim, with_log_var=c.needs_log_var
             )
         if c.decoder == "dense":
-            self.decoder_net = nets.DenseDecoder(c.obs_dim)
+            self.decoder_net = nets.DenseDecoder(
+                c.obs_dim, precision=dense_prec
+            )
         else:
             self.decoder_net = nets.ConvDecoder(c.image_shape)
 

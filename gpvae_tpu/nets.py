@@ -15,14 +15,24 @@ Design deltas from the reference (deliberate):
   NLL is computed with the numerically stable log-sigmoid form instead of the
   reference's ``log(p + 1e-10)`` clamp (GP_VAE_syn_data.py:334-341);
 * convolutions are XLA-native ``lax.conv_general_dilated`` via flax — already
-  MXU-optimal on TPU (SURVEY.md §2.3), no custom kernel warranted.
+  MXU-optimal on TPU (SURVEY.md §2.3), no custom kernel warranted;
+* the DENSE nets pin ``precision=HIGHEST`` by default: on TPU the default
+  f32 matmul runs bf16 passes, which was measured to dominate the shipped
+  config's deviation from the fp64 reference math (max loss rel 2.6e-4 vs
+  the 1e-4 north star; forcing HIGHEST recovers 1.1e-5 — BASELINE.md fp64
+  trajectory audit).  These matmuls are ~15x32 — the cost is nil.  The conv
+  nets keep the default (bf16-pass) precision; flip with
+  ``GPVAEConfig(dense_precision="default")``.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
 
 # Reference initializers (src/Models/syndata/GP_VAE_syn_data.py:9-13)
 _W_INIT = nn.initializers.truncated_normal(stddev=0.1)
@@ -40,23 +50,25 @@ class DenseEncoder(nn.Module):
     latent_dim: int
     hidden: Sequence[int] = DENSE_HIDDEN
     with_log_var: bool = False
+    precision: Any = _HI
 
     @nn.compact
     def __call__(self, x):
         h = x
         for width in self.hidden:
             h = nn.relu(
-                nn.Dense(width, kernel_init=_W_INIT, bias_init=_B_INIT)(h)
+                nn.Dense(width, kernel_init=_W_INIT, bias_init=_B_INIT,
+                         precision=self.precision)(h)
             )
         mean = nn.Dense(
             self.latent_dim, kernel_init=_W_INIT, bias_init=_B_INIT,
-            name="mean_head",
+            precision=self.precision, name="mean_head",
         )(h)
         if not self.with_log_var:
             return mean
         log_var = nn.Dense(
             self.latent_dim, kernel_init=_W_INIT, bias_init=_B_INIT,
-            name="log_var_head",
+            precision=self.precision, name="log_var_head",
         )(h)
         return mean, log_var
 
@@ -65,17 +77,19 @@ class DenseDecoder(nn.Module):
     """Z -> 8 -> 16 -> 32 -> 32 -> obs_dim, returning Bernoulli logits."""
     obs_dim: int
     hidden: Sequence[int] = tuple(reversed(DENSE_HIDDEN))
+    precision: Any = _HI
 
     @nn.compact
     def __call__(self, z):
         h = z
         for width in self.hidden:
             h = nn.relu(
-                nn.Dense(width, kernel_init=_W_INIT, bias_init=_B_INIT)(h)
+                nn.Dense(width, kernel_init=_W_INIT, bias_init=_B_INIT,
+                         precision=self.precision)(h)
             )
         return nn.Dense(
             self.obs_dim, kernel_init=_W_INIT, bias_init=_B_INIT,
-            name="logits_head",
+            precision=self.precision, name="logits_head",
         )(h)
 
 

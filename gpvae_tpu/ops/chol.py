@@ -132,6 +132,7 @@ def chol_inv_parts(d: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     assembly), skipping the full-tile L/L^{-1} HBM writes + the diag DUS
     round-trip.  Values match the assembled forms exactly (same chain)."""
     n, nb, _ = d.shape
+    assert nb % 2 == 0, f"chol_inv_parts needs even nb, got {nb}"
     h = nb // 2
     if nb == 128 and dispatch.on_tpu():
         d = jax.lax.optimization_barrier(d)
@@ -145,6 +146,7 @@ def chol_parts(d: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     """Factor-only half-block parts ``(l11, a21, l22)`` of
     :func:`chol_wide` (final diagonal blocks)."""
     n, nb, _ = d.shape
+    assert nb % 2 == 0, f"chol_parts needs even nb, got {nb}"
     h = nb // 2
     if nb == 128 and dispatch.on_tpu():
         d = jax.lax.optimization_barrier(d)

@@ -220,8 +220,7 @@ def _diag_slab(n: int) -> int | None:
     puts m on the SUBLANE axis, so Mosaic requires m divisible by 8
     unless the block spans the whole array (m == n) — e.g. N = 170 must
     not pick its divisor 34.  Returns None when no valid slab exists
-    within ~4x the budget (callers fall back to the jnp.diagonal
-    gather)."""
+    within the budget (callers fall back to the jnp.diagonal gather)."""
     nb = 128
     budget = max(1, (_SLAB_BYTES // 2) // (4 * nb * nb))
     best = None
@@ -250,6 +249,10 @@ def _diag_extract_jit(l, interpret):
     n, t, _ = l.shape
     nb = 128
     m = _diag_slab(n)
+    assert m is not None, (
+        f"no Mosaic-legal batch slab for N={n}; use diag_extract (it falls "
+        f"back to the jnp.diagonal gather)"
+    )
     return pl.pallas_call(
         _diag_kernel,
         grid=(n // m, t // nb),

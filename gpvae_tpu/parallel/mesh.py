@@ -132,6 +132,73 @@ def make_parallel_train_step(
     return run
 
 
+def shard_batch_stack(
+    batches: list, mesh: Mesh, axis_name: str = "data"
+) -> dict:
+    """Stack ``k`` global batches into ``[k, B, ...]`` super-arrays with the
+    SECOND axis (the global batch) sharded over the mesh — the operand
+    shape of :func:`make_parallel_multi_step`."""
+    n = mesh.shape[axis_name]
+    keys = [k for k in batches[0] if batches[0].get(k) is not None]
+    for k in keys:
+        if np.shape(batches[0][k])[0] % n != 0:
+            raise ValueError(
+                f"batch axis of {k!r} ({np.shape(batches[0][k])[0]}) is not "
+                f"divisible by the {axis_name!r} mesh axis ({n} devices)"
+            )
+    sharding = NamedSharding(mesh, P(None, axis_name))
+    return {
+        k: jax.device_put(
+            jax.numpy.stack([jax.numpy.asarray(b[k]) for b in batches]),
+            sharding,
+        )
+        for k in keys
+    }
+
+
+def make_parallel_multi_step(
+    model: GPVAE,
+    tx: optax.GradientTransformation,
+    beta_schedule: elbo_lib.BetaSchedule,
+    mesh: Mesh,
+    axis_name: str = "data",
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """``k`` data-parallel optimizer steps per jitted call: a ``lax.scan``
+    over super-batches ``[k, B_global, ...]`` whose batch axis shards over
+    the mesh (the mesh analog of ``train.make_multi_step``).
+
+    The k=1 dispatch-per-step loop pays one host->device staging + one
+    remote dispatch per optimizer step — exactly the pattern the
+    single-chip loop measured ~10x wall-clock against (train.py
+    steps_per_call).  Here the scan keeps the sharded super-batch
+    device-resident across all k steps; the per-step gradient psum over
+    ICI is unchanged.  Step-for-step identical to the k=1 path (same
+    ``train._build_step_fn`` body; tests assert parity)."""
+    from gpvae_tpu import train as train_lib
+
+    repl = NamedSharding(mesh, P())
+    data2 = NamedSharding(mesh, P(None, axis_name))
+    inner = train_lib._build_step_fn(model, tx, beta_schedule)
+
+    def multi_fn(state: TrainState, batches: dict):
+        state, metrics = jax.lax.scan(inner, state, batches)
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return state, last
+
+    jitted = jax.jit(
+        multi_fn,
+        in_shardings=(repl, data2),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+    def run(state: TrainState, batches: dict):
+        with dispatch.compute_on(mesh):
+            return jitted(state, batches)
+
+    return run
+
+
 def fit_data_parallel(
     model: GPVAE,
     batches,
@@ -147,8 +214,12 @@ def fit_data_parallel(
     Each batch from ``batches`` is the GLOBAL batch; its leading axis
     shards over the mesh's ``data`` axis (must divide evenly), parameters
     and optimizer state replicate, and the gradient reduction compiles to
-    one psum over the interconnect.  Checkpointing/resume go through the
-    same orbax manager as the single-chip loop (replicated arrays are
+    one psum over the interconnect.  Like the single-chip loop, the driver
+    runs ``config.steps_per_call`` optimizer steps per dispatch — a
+    ``lax.scan`` over a device-resident sharded super-batch
+    (:func:`make_parallel_multi_step`) — instead of one host staging +
+    remote dispatch per step.  Checkpointing/resume go through the same
+    orbax manager as the single-chip loop (replicated arrays are
     host-addressable).  Returns ``(state, MetricsLog)``.
     """
     import time
@@ -182,30 +253,50 @@ def fit_data_parallel(
             if verbose:
                 print(f"resumed from step {int(state.step)}")
     state = replicate(state, mesh)
-    step_fn = make_parallel_train_step(
-        model, tx, config.beta, mesh, axis_name=axis_name
-    )
+    k = config.resolved_steps_per_call()
+    if k > 1:
+        multi_fn = make_parallel_multi_step(
+            model, tx, config.beta, mesh, axis_name=axis_name
+        )
+    else:
+        step_fn = make_parallel_train_step(
+            model, tx, config.beta, mesh, axis_name=axis_name
+        )
     log = train_lib.MetricsLog()
     step = int(jax.device_get(state.step))
     last_logged = step
     t_last = time.perf_counter()
     batch = first
     while step < config.num_steps:
-        state, metrics = step_fn(state, shard_batch(batch, mesh, axis_name))
-        step += 1
-        if step % config.log_every == 0 or step >= config.num_steps:
+        if k > 1:
+            chunk = [batch] + [next(batches) for _ in range(k - 1)]
+            state, metrics = multi_fn(
+                state, shard_batch_stack(chunk, mesh, axis_name)
+            )
+            step += k
+        else:
+            state, metrics = step_fn(
+                state, shard_batch(batch, mesh, axis_name)
+            )
+            step += 1
+        if step // config.log_every > last_logged // config.log_every or (
+            step >= config.num_steps
+        ):
             jax.block_until_ready(metrics["loss"])
             now = time.perf_counter()
             sps = (step - last_logged) / max(now - t_last, 1e-9)
             t_last, last_logged = now, step
-            host = {k: np.asarray(v) for k, v in metrics.items()}
+            host = {key: np.asarray(v) for key, v in metrics.items()}
             log.append(step, {**host, "steps_per_sec": sps})
             if verbose:
                 print(
                     f"step {step}: loss={float(host['loss']):.4f} "
                     f"({sps:.1f} steps/s x {mesh.shape[axis_name]} devices)"
                 )
-        if ckpt is not None and step % config.checkpoint_every == 0:
+        if ckpt is not None and (
+            step % config.checkpoint_every < k
+            and step >= config.checkpoint_every
+        ):
             ckpt.save(state)
         if step < config.num_steps:
             batch = next(batches)

@@ -35,4 +35,4 @@ def test_dryrun_multichip_driver_style():
         f"dryrun failed (rc={proc.returncode})\n"
         f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-4000:]}"
     )
-    assert "one DP step ok" in proc.stdout
+    assert "orbax roundtrip ok" in proc.stdout
