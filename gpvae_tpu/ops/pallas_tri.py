@@ -65,6 +65,14 @@ def tri_inv_blocked(l: jnp.ndarray) -> jnp.ndarray:
     base is two HIGHEST-precision MXU matmuls, no sequential substitution
     anywhere.  This is what routes the large-T KLs and the Cholesky VJP
     around XLA's sequential ``triangular_solve``.  ``l [N, T, T]``.
+
+    NOTE: the sequential recursion dispatches T/64 *separate* lane-kernel
+    calls, each padding its tiny batch to 128 lanes — at the production
+    KL shapes ([2, 1024, 1024]) that is ~16 calls with 126/128 lanes
+    wasted.  :func:`tri_inv_flat` batches all diagonal blocks into ONE
+    lane call and merges level-by-level; ``tri_inv`` dispatches there.
+    This recursion is kept as the reference implementation (tests pit the
+    two against each other).
     """
     n, t, _ = l.shape
     if t <= MAX_NB:
@@ -88,6 +96,78 @@ def tri_inv_blocked(l: jnp.ndarray) -> jnp.ndarray:
     ], axis=1)
 
 
+def _block_diag_extract(l: jnp.ndarray, s: int) -> jnp.ndarray:
+    """``[N, T, T] -> [N, T//s, s, s]`` diagonal s-blocks via a selection
+    contraction (one streaming read of ``l``; jnp.diagonal-style element
+    gathers measured ~1.9 ms on big banks — the diag_extract lesson)."""
+    n, t, _ = l.shape
+    c = t // s
+    l5 = l.reshape(n, c, s, c, s)
+    eye = jnp.eye(c, dtype=l.dtype)
+    return jnp.einsum(
+        "niajb,ij->niab", l5, eye,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def tri_inv_flat(l: jnp.ndarray) -> jnp.ndarray:
+    """Batched lower-triangular inverse ``[N, T, T]`` with level-parallel
+    merging — the production large-T path.
+
+    1. ALL N * T/64 diagonal 64-blocks invert in ONE lane-batched kernel
+       call (the serial substitution chain amortizes over every block of
+       every matrix at once, instead of T/64 sequential calls padding a
+       tiny N to 128 lanes);
+    2. level k merges pairs of adjacent s-blocks (s = 64*2^k) with two
+       batched HIGHEST MXU matmuls: ``ib = -ic @ B @ ia`` for all pairs
+       of all matrices at once.
+
+    T is identity-padded up to the next 64*2^k (the inverse of
+    blockdiag(L, I) is blockdiag(L^{-1}, I), exact).
+    """
+    n, t, _ = l.shape
+    if t <= MAX_NB:
+        return tri_inv_small_batched(l)
+    # pad T to 64 * 2^k
+    t_pad = MAX_NB
+    while t_pad < t:
+        t_pad *= 2
+    if t_pad != t:
+        pad = t_pad - t
+        diag_pad = (jnp.arange(t_pad) >= t).astype(jnp.float32)
+        l = jnp.pad(l.astype(jnp.float32), ((0, 0), (0, pad), (0, pad)))
+        l = l + jnp.eye(t_pad, dtype=jnp.float32) * diag_pad[None, None, :]
+    else:
+        l = l.astype(jnp.float32)
+
+    c = t_pad // MAX_NB
+    d = _block_diag_extract(l, MAX_NB)                 # [N, c, 64, 64]
+    inv = tri_inv_small_batched(
+        d.reshape(n * c, MAX_NB, MAX_NB)
+    ).reshape(n, c, MAX_NB, MAX_NB)
+    hi = jax.lax.Precision.HIGHEST
+    s = MAX_NB
+    while s < t_pad:
+        pairs = t_pad // (2 * s)
+        # off-diagonal s-block of each 2s diagonal block of l
+        d2 = _block_diag_extract(l, 2 * s)             # [N, pairs, 2s, 2s]
+        b = d2[:, :, s:, :s]
+        ia = inv[:, 0::2]                              # [N, pairs, s, s]
+        ic = inv[:, 1::2]
+        ib = -jnp.einsum(
+            "npij,npjk,npkl->npil", ic, b, ia,
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+        zero = jnp.zeros((n, pairs, s, s), jnp.float32)
+        inv = jnp.concatenate([
+            jnp.concatenate([ia, zero], axis=3),
+            jnp.concatenate([ib, ic], axis=3),
+        ], axis=2)                                     # [N, pairs, 2s, 2s]
+        s *= 2
+    return inv[:, 0, :t, :t]
+
+
 @jax.custom_vjp
 def tri_inv(l: jnp.ndarray) -> jnp.ndarray:
     """Differentiable lower-triangular inverse ``[..., T, T]``.
@@ -108,7 +188,7 @@ def tri_inv(l: jnp.ndarray) -> jnp.ndarray:
     if nb <= MAX_NB:
         x = tri_inv_small_batched(flat)
     else:
-        x = tri_inv_blocked(flat.astype(jnp.float32))
+        x = tri_inv_flat(flat.astype(jnp.float32))
     return x.reshape(batch + (nb, nb))
 
 

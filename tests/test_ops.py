@@ -195,6 +195,28 @@ def test_tri_inv_blocked_vs_oracle(t):
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.parametrize("t", [100, 192, 320, 1024])
+def test_tri_inv_flat_vs_blocked_and_oracle(t):
+    """The level-merged batched triangular inverse (round 4: one lane call
+    for all diagonal 64-blocks instead of T/64 sequential calls — measured
+    1.45 -> 0.23 ms at [2, 1024, 1024] on v5e) must agree with the
+    recursion and the fp64 oracle, including at non-power-of-two T
+    (identity padding)."""
+    from gpvae_tpu.ops import pallas_tri
+
+    rng = np.random.default_rng(7)
+    k = random_psd(rng, 3, t)
+    l64 = np.linalg.cholesky(k)
+    l = jnp.asarray(l64, jnp.float32)
+    x = np.asarray(pallas_tri.tri_inv_flat(l))
+    xb = np.asarray(pallas_tri.tri_inv_blocked(l))
+    want = np.linalg.inv(l64)
+    scale = np.abs(want).max()
+    assert np.abs(x - want).max() / scale < 1e-4
+    assert np.abs(x - xb).max() / scale < 1e-5  # same math, same answer
+    assert np.allclose(x, np.tril(x))
+
+
 def test_solve_triangular_inverse_route_large_t():
     from gpvae_tpu.ops.trsm import solve_triangular
 
