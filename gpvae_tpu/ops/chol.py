@@ -137,9 +137,26 @@ def chol_inv_parts(d: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     if nb == 128 and dispatch.on_tpu():
         d = jax.lax.optimization_barrier(d)
         return pallas_chol.chol_inv_128_parts(d)
+    if nb == 256 and dispatch.on_tpu():
+        return _chol_inv_256_parts(d)
     l, inv = chol_and_inv(d)
     return (l[:, :h, :h], l[:, h:, :h], l[:, h:, h:],
             inv[:, :h, :h], inv[:, h:, :h], inv[:, h:, h:])
+
+
+def _chol_inv_256_parts(d: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """Parts-native 256-wide diagonal block: the :func:`chol_and_inv`
+    recursion with the 128-halves on the fused Pallas kernels and NO
+    [N, 256, 256] assembly/re-slice round-trip (the assembled form costs
+    ~16 full-tile HBM passes per block; the first nb=256 A/B measured the
+    sloppy glue at +0.47 ms over nb=128 despite halving the dominant
+    history stream — benchmarks/prof_nb256.py)."""
+    d = jax.lax.optimization_barrier(d)
+    l11, i11 = pallas_chol.chol_and_inv_128(d[:, :128, :128])
+    a21, s22 = pallas_chol.schur128(d, i11)
+    l22, i22 = pallas_chol.chol_and_inv_128(s22)
+    i21 = pallas_chol.inv21_128(i11, a21, i22)
+    return l11, a21, l22, i11, i21, i22
 
 
 def chol_parts(d: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
@@ -151,6 +168,12 @@ def chol_parts(d: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     if nb == 128 and dispatch.on_tpu():
         d = jax.lax.optimization_barrier(d)
         return pallas_chol.chol_128_parts(d)
+    if nb == 256 and dispatch.on_tpu():
+        d = jax.lax.optimization_barrier(d)
+        l11, i11 = pallas_chol.chol_and_inv_128(d[:, :128, :128])
+        a21, s22 = pallas_chol.schur128(d, i11)
+        l22 = pallas_chol.chol_128(s22)
+        return l11, a21, l22
     l = chol_wide(d)
     return l[:, :h, :h], l[:, h:, :h], l[:, h:, h:]
 

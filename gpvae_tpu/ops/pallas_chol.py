@@ -521,6 +521,76 @@ def _inv21_jit(i11, a21, i22, interpret):
     )(i11, a21, i22)
 
 
+def _schur128_kernel(d_ref, i11_ref, a21_ref, s22_ref):
+    d = d_ref[...]
+    a21 = jax.lax.dot_general(
+        d[:, 128:, :128], i11_ref[...], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    a21_ref[...] = a21
+    s22_ref[...] = d[:, 128:, 128:] - jax.lax.dot_general(
+        a21, a21, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _schur128_jit(d, i11, interpret):
+    n = d.shape[0]
+    m = _slab_div(n, 16)
+    half = pl.BlockSpec((m, 128, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _schur128_kernel,
+        grid=(n // m,),
+        in_specs=[
+            pl.BlockSpec((m, 256, 256), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            half,
+        ],
+        out_specs=(half, half),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n, 128, 128), jnp.float32),
+        ),
+        compiler_params=_glue_params(4 * (2 * 256 * 256 + 4 * 128 * 128), m),
+        interpret=interpret,
+    )(d.astype(jnp.float32), i11)
+
+
+def schur128(d: jnp.ndarray, i11: jnp.ndarray):
+    """``(a21, s22)`` of a 256-wide diagonal block from ``d [N, 256, 256]``
+    and the (0,0)-quadrant inverse ``i11 [N, 128, 128]``:
+    ``a21 = D21 i11^T``, ``s22 = D22 - a21 a21^T`` — one fused kernel, no
+    XLA-level slices or intermediate HBM panels (the 128-wide analog of
+    :func:`_schur64_jit`, for the nb=256 deferred-column schedule)."""
+    return _schur128_jit(d, i11, _interpret())
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _inv21_128_jit(i11, a21, i22, interpret):
+    n = i11.shape[0]
+    m = _slab_div(n, 16)
+    half = pl.BlockSpec((m, 128, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _inv21_kernel,
+        grid=(n // m,),
+        in_specs=[half] * 3,
+        out_specs=half,
+        out_shape=jax.ShapeDtypeStruct((n, 128, 128), jnp.float32),
+        compiler_params=_glue_params(4 * (2 * 4 * 128 * 128 + 128 * 128), m),
+        interpret=interpret,
+    )(i11, a21, i22)
+
+
+def inv21_128(i11: jnp.ndarray, a21: jnp.ndarray, i22: jnp.ndarray):
+    """``inv21 = -i22 (a21 i11)`` for 128-wide halves of a 256 block."""
+    return _inv21_128_jit(i11, a21, i22, _interpret())
+
+
 def chol_inv_128_parts(
     d: jnp.ndarray,
 ) -> tuple[jnp.ndarray, ...]:
