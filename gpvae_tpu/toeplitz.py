@@ -25,11 +25,38 @@ bank (learnable lengthscales, per-sequence grams).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 from gpvae_tpu import kernels as kernels_lib
+
+# Block width for the blocked Schur/Durbin recursion (0 disables it and
+# every Durbin entry point falls back to the classical length-T scan).
+# 128 is both the fastest measured width and the most accurate (fewer
+# tail-update roundings: GS-identity error 1.7e-3 vs the scan's 3.0e-3 at
+# T=4096, ls=64, fp32 — see BASELINE.md round 4).
+_DURBIN_BLOCK = int(os.environ.get("GPVAE_DURBIN_BLOCK", "128"))
+# Below this order count the scan wins (the blocked path's per-block FFT
+# glue isn't amortized; both paths are exact so this is purely a perf
+# dispatch).
+_DURBIN_BLOCKED_MIN_T = int(os.environ.get("GPVAE_DURBIN_MIN_T", "256"))
+
+
+def _clamp_alpha(alpha: jnp.ndarray) -> jnp.ndarray:
+    """Clamp a reflection coefficient into the open PD region (-1, 1).
+
+    For a PD Toeplitz matrix every |alpha_k| < 1 exactly; fp32 rounding in
+    near-singular regimes (e.g. T=4096, lengthscale spanning ~600 grid
+    steps) can push a computed alpha past 1, making 1 - alpha^2 negative
+    and NaN-ing every downstream log.  The clamp is the identity whenever
+    |alpha| <= 1 - 3e-7 (below fp32 resolution of 1), so well-conditioned
+    paths are bit-unchanged; past it the recursion degrades gracefully
+    instead of poisoning the whole logdet (measured: the clamped blocked
+    path matches the fp64 oracle to 1.8e-4 in the regime that NaN'd)."""
+    lim = jnp.asarray(1.0 - 3e-7, alpha.dtype)
+    return jnp.clip(alpha, -lim, lim)
 
 
 def _durbin_scan(rho: jnp.ndarray):
@@ -47,7 +74,7 @@ def _durbin_scan(rho: jnp.ndarray):
         # alpha_k = -(rho[k] + <rho[:k], rev_y[:k]>) / E_{k}
         valid = (idx < k).astype(rho.dtype)
         num = rho[k] + jnp.sum(rho * rev_y * valid)
-        alpha = -num / e
+        alpha = _clamp_alpha(-num / e)
         y_new = y + alpha * rev_y
         y_new = jnp.where(idx == k, alpha, jnp.where(idx < k, y_new, 0.0))
         # reverse of the order-(k+1) solution: [alpha, rev_y + alpha*y]
@@ -63,6 +90,194 @@ def _durbin_scan(rho: jnp.ndarray):
     return log_e, y, rev_y, e
 
 
+def _shift1(x: jnp.ndarray) -> jnp.ndarray:
+    """Shift right by one along the last axis, zero-filling (Z in the
+    polynomial recursions — no wraparound)."""
+    return jnp.concatenate([jnp.zeros_like(x[..., :1]), x[..., :-1]], -1)
+
+
+def _gconv_causal(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel causal convolution ``out[c, m] = sum_d k[c, d] x[c, m-d]``
+    for ``x [C, T]``, ``k [C, W]`` -> ``[C, T]`` (grouped direct conv at
+    HIGHEST precision; lax.conv is cross-correlation, so the kernel is
+    flipped and left-padded by W-1)."""
+    c, _t = x.shape
+    w = k.shape[-1]
+    out = jax.lax.conv_general_dilated(
+        x[None], k[:, None, ::-1],
+        window_strides=(1,), padding=[(w - 1, 0)],
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0]
+
+
+def _theta_tree(alphas: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """2x2 polynomial transfer matrix Theta(Z) = M_nb ... M_1 for
+    ``alphas [B, nb]`` (nb a power of two), where
+    M_k = [[1, alpha_k Z], [alpha_k, Z]].
+
+    Built by a log2(nb)-depth pairwise product tree — each level is ONE
+    grouped direct convolution over all pairs (8 coefficient products
+    batched into the channel axis).  The pairwise order matters for more
+    than speed: a *sequential* fp32 accumulation of the 128-step product
+    loses ~3 digits to cancellation and was measured to corrupt the
+    blocked recursion catastrophically in near-singular regimes (alpha
+    drifting to +-1 where the true value is 8e-4); the tree's log-depth
+    accumulation matches the fp64-accumulated Theta to working precision.
+    Returns (th11, th12, th21, th22), each ``[B, nb+1]``.
+    """
+    bsz, nb = alphas.shape
+    dt = alphas.dtype
+    zeros = jnp.zeros_like(alphas)
+    ones = jnp.ones_like(alphas)
+    # leaves [B, nb, 2]: M_k's entries as degree-1 coefficient vectors
+    th11 = jnp.stack([ones, zeros], -1)
+    th12 = jnp.stack([zeros, alphas], -1)
+    th21 = jnp.stack([alphas, zeros], -1)
+    th22 = jnp.stack([zeros, ones], -1)
+    p = nb
+    while p > 1:
+        ln = th11.shape[-1]
+        a_ = [x[:, 1::2] for x in (th11, th12, th21, th22)]  # later = LEFT
+        b_ = [x[:, 0::2] for x in (th11, th12, th21, th22)]
+        # c11 = A11*B11 + A12*B21, c12 = A11*B12 + A12*B22,
+        # c21 = A21*B11 + A22*B21, c22 = A21*B12 + A22*B22
+        sig = jnp.stack([b_[0], b_[2], b_[1], b_[3],
+                         b_[0], b_[2], b_[1], b_[3]])
+        ker = jnp.stack([a_[0], a_[1], a_[0], a_[1],
+                         a_[2], a_[3], a_[2], a_[3]])
+        c = 8 * bsz * (p // 2)
+        out = jax.lax.conv_general_dilated(
+            sig.reshape(1, c, ln), ker.reshape(c, 1, ln)[:, :, ::-1],
+            window_strides=(1,), padding=[(ln - 1, ln - 1)],
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
+        )[0].reshape(8, bsz, p // 2, 2 * ln - 1)
+        th11, th12, th21, th22 = (
+            out[0] + out[1], out[2] + out[3],
+            out[4] + out[5], out[6] + out[7],
+        )
+        p //= 2
+    return tuple(x[:, 0].astype(dt) for x in (th11, th12, th21, th22))
+
+
+def _durbin_schur_blocked(rho: jnp.ndarray, nb: int):
+    """Blocked Schur/Durbin recursion (VERDICT r3 #9): sequential depth
+    T/nb outer steps instead of T.
+
+    Same quantities as :func:`_durbin_scan` — reflection coefficients,
+    prediction-error variances, and the Yule-Walker solution — computed
+    through the Szego-polynomial pair
+
+        a^(k) = a^(k-1) + alpha_k Z b^(k-1)
+        b^(k) = Z b^(k-1) + alpha_k a^(k-1)          (Z = down-shift)
+
+    and its rho-correlation images ``s = rho (*) a``, ``t = rho (*) b``
+    which satisfy the *same* linear recursion.  ``alpha_k`` reads only
+    ``s_k`` and ``t_{k-1}``, so a block of ``nb`` steps needs just
+    length-``nb`` windows of (s, t): the unrolled inner recursion updates
+    only those windows and extracts the alphas (the minimal serial
+    chain); the block's 2x2 polynomial transfer matrix Theta(Z) = prod_k
+    [[1, alpha_k Z], [alpha_k, Z]] (degree <= nb) is then built OFF the
+    chain by :func:`_theta_tree`, and the full (s, t) and (a, b) tails
+    advance by two grouped direct causal convolutions with Theta per
+    block — MXU work instead of a length-T scan.  (Direct, not FFT: the
+    FFT's rounding is relative to the whole-vector norm and swamps the
+    small trailing Szego-polynomial entries at fp32 — measured 2-10x
+    worse GS-identity error at T=4096.)  Exact same algebra as the scan
+    (verified to fp64 in tests); only the summation order of the tail
+    updates differs.
+
+    Prediction-error variances accumulate in log space
+    (sum log1p(-alpha^2)), so near-singular banks degrade gracefully
+    instead of underflowing E to zero.
+
+    Args: ``rho [B, t1]`` normalized autocovariances (t1 = T-1 steps).
+    Returns ``(sum_log_e [B], y [B, t1], e [B])`` with e the final
+    normalized prediction-error variance.
+    """
+    bsz, t1 = rho.shape
+    t = t1 + 1
+    assert nb > 0 and nb & (nb - 1) == 0, (
+        f"blocked Durbin needs a power-of-two block (theta tree), got {nb}"
+    )
+    nblocks = -(-t1 // nb)
+    dt = rho.dtype
+
+    rho_full = jnp.concatenate([jnp.ones((bsz, 1), dt), rho], -1)  # [B, T]
+    s0 = rho_full
+    t0 = rho_full
+    a0 = jnp.zeros((bsz, t), dt).at[:, 0].set(1.0)
+    b0 = a0
+    iota = jnp.arange(nb)
+
+    def block(carry, k0):
+        s, t_, a, b_, log_e, acc = carry
+        # windows: sh[i] = s[k0+1+i], th[i] = t[k0+i]  (i = 0..nb-1)
+        pad = jnp.zeros((bsz, nb + 1), dt)
+        sp = jnp.concatenate([s, pad], -1)
+        tp = jnp.concatenate([t_, pad], -1)
+        sh = jax.lax.dynamic_slice_in_dim(sp, k0 + 1, nb, axis=1)
+        th = jax.lax.dynamic_slice_in_dim(tp, k0, nb, axis=1)
+
+        alphas = []
+        for i in range(nb):
+            valid = k0 + 1 + i <= t1
+            den = jnp.where(valid, th[:, i], jnp.ones((), dt))
+            alpha = jnp.where(
+                valid, _clamp_alpha(-sh[:, i] / den), jnp.zeros((), dt)
+            )
+            alphas.append(alpha)
+            al = alpha[:, None]
+            # th' uses the OLD sh (order matters)
+            th_new = _shift1(th + al * sh)
+            sh = sh + al * th
+            th = th_new
+        al_blk = jnp.stack(alphas, axis=1)                   # [B, nb]
+
+        # log prediction-error accumulation, off the serial chain
+        valid_v = (k0 + 1 + iota <= t1).astype(dt)           # [nb]
+        le = jnp.log1p(-al_blk * al_blk) * valid_v           # [B, nb]
+        cum = jnp.cumsum(le, axis=-1)
+        acc = acc + jnp.sum((log_e[:, None] + cum) * valid_v, axis=-1)
+        log_e = log_e + cum[:, -1]
+
+        th11, th12, th21, th22 = _theta_tree(al_blk)
+        left = jnp.stack([s, s, a, a]).reshape(4 * bsz, t)
+        right = jnp.stack([t_, t_, b_, b_]).reshape(4 * bsz, t)
+        kl_ = jnp.stack([th11, th21, th11, th21]).reshape(4 * bsz, nb + 1)
+        kr_ = jnp.stack([th12, th22, th12, th22]).reshape(4 * bsz, nb + 1)
+        out = (_gconv_causal(left, kl_) + _gconv_causal(right, kr_)
+               ).reshape(4, bsz, t)
+        return (out[0], out[1], out[2], out[3], log_e, acc), None
+
+    z0 = jnp.zeros((bsz,), dt)
+    k0s = jnp.arange(nblocks, dtype=jnp.int32) * nb
+    (s, t_, a, b_, log_e, acc), _ = jax.lax.scan(
+        block, (s0, t0, a0, b0, z0, z0), k0s
+    )
+    return acc, a[:, 1:], jnp.exp(log_e)
+
+
+def _durbin_flat(flat_rho: jnp.ndarray):
+    """Dispatch: blocked Schur for long sequences, classical scan below
+    the crossover.  ``flat_rho [B, t1]`` -> (sum_log_e, y, e), each
+    batched.  Both paths compute identical quantities (same recursion,
+    different schedule)."""
+    t1 = flat_rho.shape[-1]
+    if _DURBIN_BLOCK > 0 and t1 + 1 >= _DURBIN_BLOCKED_MIN_T:
+        return _durbin_schur_blocked(flat_rho, _DURBIN_BLOCK)
+
+    def one(r):
+        log_e, y, _rev, e = _durbin_scan(r)
+        return jnp.sum(log_e), y, e
+
+    return jax.vmap(one)(flat_rho)
+
+
 @jax.jit
 def durbin_logdet(row: jnp.ndarray) -> jnp.ndarray:
     """logdet of the symmetric PD Toeplitz matrix with first row ``row``
@@ -75,14 +290,9 @@ def durbin_logdet(row: jnp.ndarray) -> jnp.ndarray:
     batch = row.shape[:-1]
     t = row.shape[-1]
     flat = row.reshape((-1, t))
-
-    def one(r):
-        r0 = r[0]
-        rho = r[1:] / r0
-        log_e, _, _, _ = _durbin_scan(rho)
-        return t * jnp.log(r0) + jnp.sum(log_e)
-
-    return jax.vmap(one)(flat).reshape(batch)
+    r0 = flat[:, 0]
+    sum_log_e, _, _ = _durbin_flat(flat[:, 1:] / r0[:, None])
+    return (t * jnp.log(r0) + sum_log_e).reshape(batch)
 
 
 def tri_toeplitz(col: jnp.ndarray) -> jnp.ndarray:
@@ -119,24 +329,18 @@ def durbin_gs_factors(
     batch = row.shape[:-1]
     t = row.shape[-1]
     flat = row.reshape((-1, t))
-
-    def one(r):
-        r0 = r[0]
-        rho = r[1:] / r0
-        log_e, y, rev_y, e = _durbin_scan(rho)
-        logdet = t * jnp.log(r0) + jnp.sum(log_e)
-        one_ = jnp.ones((1,), r.dtype)
-        zero = jnp.zeros((1,), r.dtype)
-        a = jnp.concatenate([one_, y])
-        b = jnp.concatenate([zero, rev_y])
-        return logdet, a, b, r0 * e
-
-    logdet, a, b, e = jax.vmap(one)(flat)
+    r0 = flat[:, 0]
+    sum_log_e, y, e = _durbin_flat(flat[:, 1:] / r0[:, None])
+    logdet = t * jnp.log(r0) + sum_log_e
+    ones = jnp.ones((flat.shape[0], 1), flat.dtype)
+    zeros = jnp.zeros((flat.shape[0], 1), flat.dtype)
+    a = jnp.concatenate([ones, y], axis=1)
+    b = jnp.concatenate([zeros, y[:, ::-1]], axis=1)   # (0, rev_y)
     return (
         logdet.reshape(batch),
         a.reshape(batch + (t,)),
         b.reshape(batch + (t,)),
-        e.reshape(batch),
+        (r0 * e).reshape(batch),
     )
 
 

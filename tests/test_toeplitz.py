@@ -84,12 +84,53 @@ def test_fft_tri_toeplitz_matvec_batched_leading():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("nb", [8, 32])
+def test_blocked_durbin_matches_scan(nb, monkeypatch):
+    """The blocked Schur/Durbin (VERDICT r3 #9) computes the same algebra
+    as the classical scan — fp64 agreement to ~1e-12 on (logdet, a, b, e),
+    including a non-divisible T (remainder block masking)."""
+    for t in (45, 257):
+        row = jnp.asarray(make_row(t, 3.0))
+        monkeypatch.setattr(toeplitz, "_DURBIN_BLOCK", 0)
+        jax.clear_caches()  # jit caches do not key on the width flag
+        want = [np.asarray(v) for v in toeplitz.durbin_gs_factors(row[None])]
+        monkeypatch.setattr(toeplitz, "_DURBIN_BLOCK", nb)
+        monkeypatch.setattr(toeplitz, "_DURBIN_BLOCKED_MIN_T", 1)
+        jax.clear_caches()
+        got = [np.asarray(v) for v in toeplitz.durbin_gs_factors(row[None])]
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, rtol=1e-9, atol=1e-10)
+    jax.clear_caches()
+
+
+def test_blocked_durbin_gradient_matches_scan(monkeypatch):
+    """Lengthscale gradients through the blocked recursion == through the
+    scan (the prior lengthscales are learnable in the fixed-MNIST config,
+    src/Models/Full_GP_VAE_fixed_for_MovMnist.py:96)."""
+    def f(ls):
+        row = kernels.toeplitz_row(64, 1.0, ls, noise=1e-3,
+                                   dtype=jnp.float64)
+        ld, a, b, e = toeplitz.durbin_gs_factors(row)
+        return jnp.sum(ld) + jnp.sum(a * a) + jnp.sum(b * b) + jnp.sum(e)
+
+    ls = jnp.asarray([3.0], jnp.float64)
+    monkeypatch.setattr(toeplitz, "_DURBIN_BLOCK", 0)
+    jax.clear_caches()
+    want = np.asarray(jax.grad(f)(ls))
+    monkeypatch.setattr(toeplitz, "_DURBIN_BLOCK", 16)
+    monkeypatch.setattr(toeplitz, "_DURBIN_BLOCKED_MIN_T", 1)
+    jax.clear_caches()
+    got = np.asarray(jax.grad(f)(ls))
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+    jax.clear_caches()
+
+
 def test_durbin_gs_fp32_stability_t4096():
-    """Round-4 scope decision (VERDICT r3 #9): the Toeplitz structured
-    prior stays the explicit O(T^2)-work/memory option (dense is the
-    measured winner at every benchmarked size since round 3c), so its
-    contract is *stability at scale*: the fp32 Durbin scan + GS inverse
-    must stay finite and accurate at T=4096 on a smooth RBF row."""
+    """The structured prior's contract is *stability at scale*: the fp32
+    Durbin (blocked Schur dispatch at this size) + GS inverse must stay
+    finite and accurate at T=4096 on a smooth RBF row.  nb=128 measured
+    *more* accurate than the scan here (1.7e-3 vs 3.0e-3 GS-identity —
+    fewer tail-update roundings)."""
     t = 4096
     row64 = make_row(t, 64.0, noise=1e-3)          # long lengthscale: the
     # hard regime — strongly correlated, prediction errors shrink fast
