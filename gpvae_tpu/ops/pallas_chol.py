@@ -600,22 +600,24 @@ def chol_inv_128_parts(
     (the deferred-column flow: the diag writeback assembles in-kernel, the
     defer kernels latch the inverse from parts into VMEM scratch) skip
     two full-tile HBM writes plus the DUS round-trip per block step."""
-    assert d.shape[-1] == 128 and not _interpret()
-    d11 = _slice11_jit(d, False)
+    assert d.shape[-1] == 128
+    interp = _interpret()
+    d11 = _slice11_jit(d, interp)
     l11, i11 = chol_inv_small_batched(d11)
-    a21, s22 = _schur64_jit(d, i11, False)
+    a21, s22 = _schur64_jit(d, i11, interp)
     l22, i22 = chol_inv_small_batched(s22)
-    i21 = _inv21_jit(i11, a21, i22, False)
+    i21 = _inv21_jit(i11, a21, i22, interp)
     return l11, a21, l22, i11, i21, i22
 
 
 def chol_128_parts(d: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     """Factor-only parts ``(l11, a21, l22)`` of the 128-wide L (final
     diagonal blocks — nothing consumes their inverse)."""
-    assert d.shape[-1] == 128 and not _interpret()
-    d11 = _slice11_jit(d, False)
+    assert d.shape[-1] == 128
+    interp = _interpret()
+    d11 = _slice11_jit(d, interp)
     l11, i11 = chol_inv_small_batched(d11)
-    a21, s22 = _schur64_jit(d, i11, False)
+    a21, s22 = _schur64_jit(d, i11, interp)
     l22 = chol_small_batched(s22)
     return l11, a21, l22
 
@@ -625,23 +627,25 @@ def chol_and_inv_128(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     glue fused into Pallas kernels (TPU only; callers fall back to the
     XLA recursion elsewhere).  Same arithmetic as ``chol.chol_and_inv``:
     L11/A21/S22/L22 chain + inv21 = -i22 (a21 i11)."""
-    assert d.shape[-1] == 128 and not _interpret()
-    d11 = _slice11_jit(d, False)
+    assert d.shape[-1] == 128
+    interp = _interpret()
+    d11 = _slice11_jit(d, interp)
     l11, i11 = chol_inv_small_batched(d11)
-    a21, s22 = _schur64_jit(d, i11, False)
+    a21, s22 = _schur64_jit(d, i11, interp)
     l22, i22 = chol_inv_small_batched(s22)
-    return _assemble128_jit(l11, a21, l22, i11, i22, False)
+    return _assemble128_jit(l11, a21, l22, i11, i22, interp)
 
 
 def chol_128(d: jnp.ndarray) -> jnp.ndarray:
     """``L`` of batched PSD ``d [N, 128, 128]`` — :func:`chol_and_inv_128`
     without the inverse assembly (final diagonal blocks)."""
-    assert d.shape[-1] == 128 and not _interpret()
-    d11 = _slice11_jit(d, False)
+    assert d.shape[-1] == 128
+    interp = _interpret()
+    d11 = _slice11_jit(d, interp)
     l11, i11 = chol_inv_small_batched(d11)
-    a21, s22 = _schur64_jit(d, i11, False)
+    a21, s22 = _schur64_jit(d, i11, interp)
     l22 = chol_small_batched(s22)
-    return _assemble128_l_jit(l11, a21, l22, False)
+    return _assemble128_l_jit(l11, a21, l22, interp)
 
 
 # ---------------------------------------------------------------------------

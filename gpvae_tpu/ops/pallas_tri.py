@@ -168,6 +168,15 @@ def tri_inv_flat(l: jnp.ndarray) -> jnp.ndarray:
     return inv[:, 0, :t, :t]
 
 
+def _flat_pad_overhead(t: int) -> float:
+    """FLOP multiplier tri_inv_flat's next-64*2^k padding costs at ``t``
+    (1.0 when t is already 64*2^k)."""
+    t_pad = MAX_NB
+    while t_pad < t:
+        t_pad *= 2
+    return (t_pad / t) ** 3
+
+
 @jax.custom_vjp
 def tri_inv(l: jnp.ndarray) -> jnp.ndarray:
     """Differentiable lower-triangular inverse ``[..., T, T]``.
@@ -187,8 +196,14 @@ def tri_inv(l: jnp.ndarray) -> jnp.ndarray:
     flat = l.reshape((-1, nb, nb))
     if nb <= MAX_NB:
         x = tri_inv_small_batched(flat)
-    else:
+    elif _flat_pad_overhead(nb) <= 2.0:
         x = tri_inv_flat(flat.astype(jnp.float32))
+    else:
+        # tri_inv_flat identity-pads T to the next 64*2^k; far from a
+        # power of two (e.g. T=1088 -> 2048) that multiplies the merge
+        # FLOPs/memory by (t_pad/t)^3 ~ 6.7x, and the 64-aligned block
+        # recursion is cheaper despite its sequential lane calls
+        x = tri_inv_blocked(flat.astype(jnp.float32))
     return x.reshape(batch + (nb, nb))
 
 

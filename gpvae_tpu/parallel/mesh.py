@@ -267,20 +267,33 @@ def fit_data_parallel(
     last_logged = step
     t_last = time.perf_counter()
     batch = first
+    exhausted = False
     while step < config.num_steps:
         if k > 1:
-            chunk = [batch] + [next(batches) for _ in range(k - 1)]
+            # clamp the chunk to the remaining steps (a num_steps-sized
+            # finite iterator must not overshoot), and tolerate the
+            # iterator ending mid-chunk: run what arrived, then stop
+            # through the post-loop checkpoint save instead of raising
+            # StopIteration out of the driver.  The tail chunk's shorter
+            # scan length costs one extra compile.
+            chunk = [batch]
+            try:
+                while len(chunk) < min(k, config.num_steps - step):
+                    chunk.append(next(batches))
+            except StopIteration:
+                exhausted = True
             state, metrics = multi_fn(
                 state, shard_batch_stack(chunk, mesh, axis_name)
             )
-            step += k
+            took = len(chunk)
         else:
             state, metrics = step_fn(
                 state, shard_batch(batch, mesh, axis_name)
             )
-            step += 1
+            took = 1
+        step += took
         if step // config.log_every > last_logged // config.log_every or (
-            step >= config.num_steps
+            step >= config.num_steps or exhausted
         ):
             jax.block_until_ready(metrics["loss"])
             now = time.perf_counter()
@@ -294,12 +307,21 @@ def fit_data_parallel(
                     f"({sps:.1f} steps/s x {mesh.shape[axis_name]} devices)"
                 )
         if ckpt is not None and (
-            step % config.checkpoint_every < k
+            step % config.checkpoint_every < took
             and step >= config.checkpoint_every
         ):
             ckpt.save(state)
+        if exhausted:
+            if verbose:
+                print(f"batches exhausted at step {step}; stopping")
+            break
         if step < config.num_steps:
-            batch = next(batches)
+            try:
+                batch = next(batches)
+            except StopIteration:
+                if verbose:
+                    print(f"batches exhausted at step {step}; stopping")
+                break
     if ckpt is not None:
         ckpt.save(state)
     return state, log

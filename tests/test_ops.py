@@ -217,6 +217,45 @@ def test_tri_inv_flat_vs_blocked_and_oracle(t):
     assert np.allclose(x, np.tril(x))
 
 
+def test_tri_inv_awkward_t_dispatches_blocked():
+    """Far from a power of two (T=136 -> flat would pad to 256, 6.7x the
+    merge FLOPs) tri_inv routes to the 64-aligned block recursion; the
+    answer must match the fp64 oracle either way."""
+    from gpvae_tpu.ops import pallas_tri
+
+    assert pallas_tri._flat_pad_overhead(136) > 2.0
+    assert pallas_tri._flat_pad_overhead(1024) == 1.0
+    rng = np.random.default_rng(11)
+    k = random_psd(rng, 2, 136)
+    l64 = np.linalg.cholesky(k)
+    x = np.asarray(pallas_tri.tri_inv(jnp.asarray(l64, jnp.float32)))
+    want = np.linalg.inv(l64)
+    assert np.abs(x - want).max() / np.abs(want).max() < 1e-4
+
+
+def test_chol_inv_256_parts_matches_assembled():
+    """The parts-native 256-wide diagonal block (schur128/inv21_128 glue,
+    TPU-only dispatch in chol_inv_parts) must reproduce the assembled
+    chol_and_inv slices — pinned here in interpret mode so a glue edit
+    can't silently break the nb=256 path that only dispatches on_tpu()."""
+    from gpvae_tpu.ops import chol
+
+    rng = np.random.default_rng(12)
+    d = jnp.asarray(random_psd(rng, 2, 256), jnp.float32)
+    l11, a21, l22, i11, i21, i22 = chol._chol_inv_256_parts(d)
+    l_full, inv_full = chol.chol_and_inv(d)
+    want = (
+        l_full[:, :128, :128], l_full[:, 128:, :128], l_full[:, 128:, 128:],
+        inv_full[:, :128, :128], inv_full[:, 128:, :128],
+        inv_full[:, 128:, 128:],
+    )
+    got = (l11, a21, l22, i11, i21, i22)
+    for g, w in zip(got, want):
+        w = np.asarray(w)
+        err = np.abs(np.asarray(g) - w).max() / np.abs(w).max()
+        assert err < 1e-5, err
+
+
 def test_solve_triangular_inverse_route_large_t():
     from gpvae_tpu.ops.trsm import solve_triangular
 

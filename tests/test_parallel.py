@@ -103,11 +103,21 @@ def test_parallel_multi_step_matches_k1_path(setup):
         replicate(state2, mesh), shard_batch_stack([batch] * k, mesh)
     )
     assert int(s2.step) == int(s1.step) == k
-    # same math, different compiled program (scan) — trajectory-level parity
-    np.testing.assert_allclose(
-        float(m1["loss"]), float(m2["loss"]), rtol=2e-2
-    )
     assert np.isfinite(float(m2["loss"]))
+    # same math, different compiled program (scan): the PARAMETERS after k
+    # identical-seed steps must agree to fp32 reassociation noise — a loose
+    # loss-only check (old rtol=2e-2) could not see a beta off-by-one or a
+    # dropped metric psum
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-4
+    )
+    for p1, p2 in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=2e-4, atol=1e-6
+        )
 
 
 def test_fit_data_parallel_multi_step_chunks(tmp_path):
@@ -138,6 +148,40 @@ def test_fit_data_parallel_multi_step_chunks(tmp_path):
         model, iter(lambda: batch, None), config2, mesh, verbose=False
     )
     assert int(np.asarray(jax.device_get(state2.step))) == 32
+
+
+def test_fit_data_parallel_finite_iterator(tmp_path):
+    """A finite iterator sized to num_steps must neither overshoot nor
+    raise StopIteration out of the driver (chunks clamp to the remaining
+    steps: 4+4+2 at num_steps=10, k=4), and a too-short iterator stops
+    gracefully through the final checkpoint save."""
+    from gpvae_tpu.parallel import fit_data_parallel
+
+    model, cfg, x, times, mask = __graft_entry__._flagship(t=8, batch=16)
+    batch = {"x": x, "times": times, "mask": mask}
+    config = TrainConfig(
+        learning_rate=3e-3, num_steps=10, log_every=4, steps_per_call=4,
+        checkpoint_every=8, checkpoint_dir=str(tmp_path / "ck"),
+    )
+    mesh = make_mesh(8)
+    state, _ = fit_data_parallel(
+        model, iter([batch] * 10), config, mesh, verbose=False
+    )
+    assert int(np.asarray(jax.device_get(state.step))) == 10
+
+    config2 = TrainConfig(
+        learning_rate=3e-3, num_steps=100, log_every=4, steps_per_call=4,
+        checkpoint_every=8, checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    state2, _ = fit_data_parallel(
+        model, iter([batch] * 7), config2, mesh, verbose=False
+    )
+    assert int(np.asarray(jax.device_get(state2.step))) == 7
+    # the stop path still wrote the final checkpoint
+    from gpvae_tpu import train as train_lib
+    ckpt = train_lib.CheckpointManager(str(tmp_path / "ck2"), 2)
+    restored = ckpt.restore_latest(state2)
+    assert restored is not None and int(restored.step) == 7
 
 
 def test_shard_batch_rejects_uneven_batch(setup):
