@@ -494,6 +494,52 @@ def _phi(m: jnp.ndarray) -> jnp.ndarray:
     return jnp.tril(m) - 0.5 * jnp.tril(jnp.triu(m))
 
 
+def _tri_sandwich(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """``X^T w X`` for lower-triangular ``x`` and symmetric ``w``.
+
+    One level of 2x2 blocking skips the structurally-zero x12 operand
+    blocks and the redundant upper half of the symmetric result:
+    11 half-size HIGHEST matmuls instead of the dense einsum's 16
+    (measured 0.551 -> 0.425 ms at [4, 1024, 1024] under the saturated
+    full-output-consuming ruler — the triple product was the largest
+    matmul term left in the T=1024 chol VJP).
+    """
+    t = x.shape[-1]
+    h = t // 2
+    if t % 256 != 0:
+        # odd/small splits lose MXU tiling alignment — dense einsum
+        return jnp.einsum(
+            "...ji,...jk,...kl->...il", x, w, x,
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+    mm = functools.partial(
+        jnp.einsum, "...ji,...jk->...ik",
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+    mm_nt = functools.partial(
+        jnp.einsum, "...ij,...jk->...ik",
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+    x11, x21, x22 = x[..., :h, :h], x[..., h:, :h], x[..., h:, h:]
+    w11, w12, w22 = w[..., :h, :h], w[..., :h, h:], w[..., h:, h:]
+    w21 = jnp.swapaxes(w12, -1, -2)
+    # t = X^T w  (X^T upper block-triangular: [[x11^T, x21^T], [0, x22^T]])
+    t11 = mm(x11, w11) + mm(x21, w21)
+    t12 = mm(x11, w12) + mm(x21, w22)
+    t21 = mm(x22, w21)
+    t22 = mm(x22, w22)
+    # kbar = t X  (X lower block-triangular); kbar is symmetric, so only
+    # the lower blocks are computed and kbar12 is mirrored from kbar21
+    k11 = mm_nt(t11, x11) + mm_nt(t12, x21)
+    k21 = mm_nt(t21, x11) + mm_nt(t22, x21)
+    k22 = mm_nt(t22, x22)
+    k11 = 0.5 * (k11 + jnp.swapaxes(k11, -1, -2))
+    k22 = 0.5 * (k22 + jnp.swapaxes(k22, -1, -2))
+    top = jnp.concatenate([k11, jnp.swapaxes(k21, -1, -2)], axis=-1)
+    bot = jnp.concatenate([k21, k22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def cholesky_bwd_from_l(l: jnp.ndarray, l_bar: jnp.ndarray) -> jnp.ndarray:
     """Standard Cholesky reverse-mode: K_bar from (L, L_bar).
 
@@ -503,18 +549,15 @@ def cholesky_bwd_from_l(l: jnp.ndarray, l_bar: jnp.ndarray) -> jnp.ndarray:
     """
     from gpvae_tpu.ops.trsm import INV_ROUTE_MAX_T
 
-    p = _phi(jnp.einsum("...ji,...jk->...ik", l, l_bar))
+    p = _phi(jnp.einsum("...ji,...jk->...ik", l, l_bar,
+                        preferred_element_type=jnp.float32, precision=_HI))
     w = 0.5 * (p + jnp.swapaxes(p, -1, -2))
     if dispatch.on_tpu() and l.shape[-1] <= INV_ROUTE_MAX_T:
         # one triangular inverse (lane kernel <= 64, MXU block recursion
-        # above), two MXU matmuls: K_bar = X^T w X — XLA's
-        # triangular_solve is a sequential substitution on TPU
+        # above), then K_bar = X^T w X with block-triangular structure —
+        # XLA's triangular_solve is a sequential substitution on TPU
         x = pallas_tri.tri_inv(l)
-        kbar = jnp.einsum(
-            "...ji,...jk,...kl->...il", x, w, x,
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
-        return kbar
+        return _tri_sandwich(x, w)
     # tmp = L^{-T} w  : solve L^T tmp = w
     tmp = solve_triangular(l, w, left_side=True, lower=True, transpose_a=True)
     # kbar = tmp L^{-1} : solve kbar L = tmp

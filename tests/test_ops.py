@@ -107,6 +107,29 @@ def test_cholesky_custom_vjp_matches_jax_native():
     )
 
 
+@pytest.mark.parametrize("t", [512, 768, 200])
+def test_tri_sandwich_matches_dense(t):
+    """The block-triangular triple product (TPU chol-VJP route) must equal
+    the dense X^T w X einsum — incl. the t % 256 != 0 dense fallback."""
+    from gpvae_tpu.ops import chol as chol_mod
+
+    rng = np.random.default_rng(7)
+    k = random_psd(rng, 2, t)
+    x64 = np.linalg.inv(np.linalg.cholesky(k))
+    w64 = rng.standard_normal((2, t, t))
+    w64 = 0.5 * (w64 + w64.swapaxes(-1, -2))
+    got = np.asarray(chol_mod._tri_sandwich(
+        jnp.asarray(x64, jnp.float32), jnp.asarray(w64, jnp.float32)
+    ))
+    want = np.swapaxes(x64, -1, -2) @ w64 @ x64
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 5e-6, err
+    if t % 256 == 0:
+        # the blocked path mirrors k21 and symmetrizes the diagonal
+        # blocks, so the assembled gradient is exactly symmetric
+        np.testing.assert_allclose(got, np.swapaxes(got, -1, -2), atol=0)
+
+
 def test_solve_triangular_roundtrip():
     rng = np.random.default_rng(4)
     k = random_psd(rng, 5, 30)
