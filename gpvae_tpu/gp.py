@@ -57,6 +57,41 @@ def _inverse_path(t: int) -> bool:
     return dispatch.on_tpu() and t <= INV_ROUTE_MAX_T
 
 
+def _tri_tri_frob2(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """``||P Q||_F^2`` over the last two axes for lower-triangular P, Q.
+
+    The product of two lower-triangular matrices is lower-triangular, so
+    one level of 2x2 blocking computes it with 4 half-size HIGHEST MXU
+    matmuls instead of the dense product's 8 — and the Frobenius norm is
+    accumulated per block, so the [.., T, T] product is never assembled
+    in HBM.  The auto-derived VJP inherits the halving (each blocked
+    matmul pulls back into two half-size matmuls).  Odd T falls back to
+    the dense einsum (MXU tiling alignment).
+    """
+    t = p.shape[-1]
+    if t % 256 != 0:
+        a = jnp.einsum(
+            "...ij,...jk->...ik", p, q,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.sum(a * a, axis=(-2, -1))
+    h = t // 2
+    mm = functools.partial(
+        jnp.einsum, "...ij,...jk->...ik",
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    p11, p21, p22 = p[..., :h, :h], p[..., h:, :h], p[..., h:, h:]
+    q11, q21, q22 = q[..., :h, :h], q[..., h:, :h], q[..., h:, h:]
+    a11 = mm(p11, q11)
+    a21 = mm(p21, q11) + mm(p22, q21)
+    a22 = mm(p22, q22)
+    return (jnp.sum(a11 * a11, axis=(-2, -1))
+            + jnp.sum(a21 * a21, axis=(-2, -1))
+            + jnp.sum(a22 * a22, axis=(-2, -1)))
+
+
 # ---------------------------------------------------------------------------
 # Differentiable fused gram-bank Cholesky
 # ---------------------------------------------------------------------------
@@ -237,11 +272,7 @@ def gp_kl(
         # the trace term and the quad term (vs two separate trsm/inversions)
         from gpvae_tpu.ops import pallas_tri
         inv_p = pallas_tri.tri_inv(l_p)
-        a = jnp.einsum(
-            "...ij,...jk->...ik", inv_p, l_q,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        tr = _tri_tri_frob2(inv_p, l_q)               # ||L_p^{-1} L_q||_F^2
         if inv_p.shape[0] == 1 and b > 1:  # shared fixed-grid factor
             v = jnp.einsum(
                 "zij,bjz->bzi", inv_p[0], mu,
@@ -257,6 +288,7 @@ def gp_kl(
         quad = jnp.sum(v * v, axis=-1)
     else:
         a = solve_triangular(l_p, l_q)                # L_p^{-1} L_q
+        tr = jnp.sum(a * a, axis=(-2, -1))            # [B or 1, Z]
         mu_bz = jnp.swapaxes(mu, -1, -2)[..., None]   # [B, Z, T, 1]
         l_p_full = (
             jnp.broadcast_to(l_p, (b,) + l_p.shape[1:])
@@ -264,7 +296,6 @@ def gp_kl(
         )
         v = solve_triangular(l_p_full, mu_bz)
         quad = jnp.sum(v * v, axis=(-2, -1))
-    tr = jnp.sum(a * a, axis=(-2, -1))                # [B or 1, Z]
     ld_p = logdet_from_chol(l_p)
     ld_q = logdet_from_chol(l_q)
     return 0.5 * (jnp.broadcast_to(tr, quad.shape) + quad - t

@@ -494,6 +494,35 @@ def _phi(m: jnp.ndarray) -> jnp.ndarray:
     return jnp.tril(m) - 0.5 * jnp.tril(jnp.triu(m))
 
 
+def _phi_w_blocks(l: jnp.ndarray, l_bar: jnp.ndarray):
+    """2x2 blocks ``(w11, w21, w22)`` of ``w = sym(phi(L^T L_bar))``.
+
+    ``L`` is lower-triangular and ``phi`` discards the strict upper
+    triangle, so the (1,2) product block is never needed: 4 half-size
+    HIGHEST matmuls instead of the dense product's 8, and the [..., T, T]
+    ``w`` is handed to the sandwich in block form without ever being
+    reassembled in HBM.  Exact blockwise restatement of
+    ``0.5 * (phi(L^T L_bar) + phi(L^T L_bar)^T)`` — ``phi`` zeroes the
+    (1,2) block and keeps the (2,1) block whole, so
+    ``w21 = 0.5 * (L22^T L_bar21)`` and the diagonal blocks symmetrize
+    their own ``phi``.  Requires ``t % 256 == 0`` (caller-checked).
+    """
+    h = l.shape[-1] // 2
+    mm = functools.partial(
+        jnp.einsum, "...ji,...jk->...ik",
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+    l11, l21, l22 = l[..., :h, :h], l[..., h:, :h], l[..., h:, h:]
+    b11, b21, b22 = (l_bar[..., :h, :h], l_bar[..., h:, :h],
+                     l_bar[..., h:, h:])
+    p11 = _phi(mm(l11, b11) + mm(l21, b21))
+    p22 = _phi(mm(l22, b22))
+    w11 = 0.5 * (p11 + jnp.swapaxes(p11, -1, -2))
+    w22 = 0.5 * (p22 + jnp.swapaxes(p22, -1, -2))
+    w21 = 0.5 * mm(l22, b21)
+    return w11, w21, w22
+
+
 def _tri_sandwich(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """``X^T w X`` for lower-triangular ``x`` and symmetric ``w``.
 
@@ -512,6 +541,16 @@ def _tri_sandwich(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
             "...ji,...jk,...kl->...il", x, w, x,
             preferred_element_type=jnp.float32, precision=_HI,
         )
+    w11, w22 = w[..., :h, :h], w[..., h:, h:]
+    w21 = jnp.swapaxes(w[..., :h, h:], -1, -2)
+    return _tri_sandwich_blocks(x, w11, w21, w22)
+
+
+def _tri_sandwich_blocks(x: jnp.ndarray, w11: jnp.ndarray,
+                         w21: jnp.ndarray, w22: jnp.ndarray) -> jnp.ndarray:
+    """`_tri_sandwich` with ``w`` supplied as its (11, 21, 22) blocks."""
+    t = x.shape[-1]
+    h = t // 2
     mm = functools.partial(
         jnp.einsum, "...ji,...jk->...ik",
         preferred_element_type=jnp.float32, precision=_HI,
@@ -521,8 +560,7 @@ def _tri_sandwich(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         preferred_element_type=jnp.float32, precision=_HI,
     )
     x11, x21, x22 = x[..., :h, :h], x[..., h:, :h], x[..., h:, h:]
-    w11, w12, w22 = w[..., :h, :h], w[..., :h, h:], w[..., h:, h:]
-    w21 = jnp.swapaxes(w12, -1, -2)
+    w12 = jnp.swapaxes(w21, -1, -2)
     # t = X^T w  (X^T upper block-triangular: [[x11^T, x21^T], [0, x22^T]])
     t11 = mm(x11, w11) + mm(x21, w21)
     t12 = mm(x11, w12) + mm(x21, w22)
@@ -549,15 +587,22 @@ def cholesky_bwd_from_l(l: jnp.ndarray, l_bar: jnp.ndarray) -> jnp.ndarray:
     """
     from gpvae_tpu.ops.trsm import INV_ROUTE_MAX_T
 
+    t = l.shape[-1]
+    if dispatch.on_tpu() and t <= INV_ROUTE_MAX_T:
+        # one triangular inverse (lane kernel <= 64, MXU block recursion
+        # above), then K_bar = X^T w X — both stages exploit the
+        # block-triangular operand structure; XLA's triangular_solve is
+        # a sequential substitution on TPU
+        x = pallas_tri.tri_inv(l)
+        if t % 256 == 0:
+            return _tri_sandwich_blocks(x, *_phi_w_blocks(l, l_bar))
+        p = _phi(jnp.einsum("...ji,...jk->...ik", l, l_bar,
+                            preferred_element_type=jnp.float32,
+                            precision=_HI))
+        return _tri_sandwich(x, 0.5 * (p + jnp.swapaxes(p, -1, -2)))
     p = _phi(jnp.einsum("...ji,...jk->...ik", l, l_bar,
                         preferred_element_type=jnp.float32, precision=_HI))
     w = 0.5 * (p + jnp.swapaxes(p, -1, -2))
-    if dispatch.on_tpu() and l.shape[-1] <= INV_ROUTE_MAX_T:
-        # one triangular inverse (lane kernel <= 64, MXU block recursion
-        # above), then K_bar = X^T w X with block-triangular structure —
-        # XLA's triangular_solve is a sequential substitution on TPU
-        x = pallas_tri.tri_inv(l)
-        return _tri_sandwich(x, w)
     # tmp = L^{-T} w  : solve L^T tmp = w
     tmp = solve_triangular(l, w, left_side=True, lower=True, transpose_a=True)
     # kbar = tmp L^{-1} : solve kbar L = tmp

@@ -157,3 +157,46 @@ def test_gp_kl_inverse_route_large_t_matches_solve():
     finally:
         gp.FORCE_INVERSE_PATH = prev
     np.testing.assert_allclose(inv, solve, rtol=2e-3, atol=2e-3)
+
+
+def test_tri_tri_frob2_blocked_matches_dense():
+    """The blocked ||P Q||_F^2 (t % 256 == 0 branch) must match the dense
+    einsum in value and gradient — lower-tri x lower-tri products are
+    lower-triangular, so the skipped upper blocks are structurally zero."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gpvae_tpu import gp
+
+    t = 512
+    rng = np.random.default_rng(9)
+    p64 = np.tril(rng.standard_normal((2, 3, t, t))) / np.sqrt(t)
+    q64 = np.tril(rng.standard_normal((1, 3, t, t))) / np.sqrt(t)
+    p32, q32 = jnp.asarray(p64, jnp.float32), jnp.asarray(q64, jnp.float32)
+
+    def dense(p, q):
+        a = jnp.einsum("...ij,...jk->...ik", p, q,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(a * a, axis=(-2, -1))
+
+    got = np.asarray(gp._tri_tri_frob2(p32, q32))
+    want = np.asarray(dense(p32, q32))
+    assert got.shape == want.shape == (2, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    g_got = jax.grad(lambda p, q: gp._tri_tri_frob2(p, q).sum(),
+                     argnums=(0, 1))(p32, q32)
+    g_want = jax.grad(lambda p, q: dense(p, q).sum(),
+                      argnums=(0, 1))(p32, q32)
+    # the two gradients may differ only in the skipped (1,2) operand
+    # block — structurally zero in the operands, and discarded by every
+    # upstream consumer (tri_inv's lower-tri-restricted VJP, the phi in
+    # the Cholesky VJP); the blocked path leaves it exactly zero
+    h = t // 2
+    for gg, gw in zip(g_got, g_want):
+        gg, gw = np.asarray(gg).copy(), np.asarray(gw).copy()
+        np.testing.assert_array_equal(gg[..., :h, h:], 0.0)
+        gw[..., :h, h:] = 0.0
+        np.testing.assert_allclose(gg, gw, rtol=1e-4, atol=1e-5)

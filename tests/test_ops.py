@@ -130,6 +130,37 @@ def test_tri_sandwich_matches_dense(t):
         np.testing.assert_allclose(got, np.swapaxes(got, -1, -2), atol=0)
 
 
+@pytest.mark.parametrize("dense_cotangent", [False, True])
+def test_phi_w_blocks_matches_dense(dense_cotangent):
+    """Blocked w = sym(phi(L^T L_bar)) must equal the dense formula —
+    including for cotangents with a nonzero upper triangle (whose b12
+    block only ever enters the phi-discarded upper product block)."""
+    from gpvae_tpu.ops import chol as chol_mod
+
+    t = 512
+    rng = np.random.default_rng(11)
+    k = random_psd(rng, 2, t)
+    l64 = np.linalg.cholesky(k)
+    lbar = rng.standard_normal((2, t, t))
+    if not dense_cotangent:
+        lbar = np.tril(lbar)
+    l32, lb32 = jnp.asarray(l64, jnp.float32), jnp.asarray(lbar, jnp.float32)
+    w11, w21, w22 = chol_mod._phi_w_blocks(l32, lb32)
+    h = t // 2
+    got = np.zeros((2, t, t), np.float32)
+    got[:, :h, :h] = np.asarray(w11)
+    got[:, h:, :h] = np.asarray(w21)
+    got[:, :h, h:] = np.asarray(w21).swapaxes(-1, -2)
+    got[:, h:, h:] = np.asarray(w22)
+
+    m = np.swapaxes(np.asarray(l32, np.float64), -1, -2) @ np.asarray(
+        lb32, np.float64)
+    p = np.tril(m) - 0.5 * np.tril(np.triu(m))
+    want = 0.5 * (p + np.swapaxes(p, -1, -2))
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 5e-6, err
+
+
 def test_solve_triangular_roundtrip():
     rng = np.random.default_rng(4)
     k = random_psd(rng, 5, 30)
