@@ -8,12 +8,13 @@ crossover decision (VERDICT r3 #9).
 
 Usage:  python benchmarks/prof_durbin.py [nb ...]
         GPVAE_DURBIN_BLOCK picks the blocked width per subprocess-free
-        A/B arm via toeplitz._DURBIN_BLOCK monkeypatch (jit caches key on
+        A/B arm via the GPVAE_DURBIN_BLOCK env var (re-read per call,
         the traced program, which differs per width — safe in-process).
 """
 from __future__ import annotations
 
 import statistics
+import os
 import sys
 import time
 
@@ -136,20 +137,17 @@ def main():
     for t in (1024, 2048, 4096):
         line = [f"T={t}"]
         for nb in widths:
-            jax.clear_caches()  # jit caches do not key on the width flag
-            toeplitz._DURBIN_BLOCK = nb
+            os.environ["GPVAE_DURBIN_BLOCK"] = str(nb)
             ms = bench_gs(t)
             tag = "scan" if nb == 0 else f"nb={nb}"
             line.append(f"{tag} {ms:.3f}ms")
         print("gs_factors  " + "  ".join(line), flush=True)
-    jax.clear_caches()
-    toeplitz._DURBIN_BLOCK = 128
+    os.environ["GPVAE_DURBIN_BLOCK"] = "128"
     for t in (1024, 4096):
         print(f"accuracy T={t}: blocked fp32 logdet rel err "
               f"{check_accuracy(t):.3e}", flush=True)
     for nb in widths:
-        jax.clear_caches()
-        toeplitz._DURBIN_BLOCK = nb
+        os.environ["GPVAE_DURBIN_BLOCK"] = str(nb)
         d, tp = bench_kl()
         tag = "scan" if nb == 0 else f"nb={nb}"
         print(f"prior-KL T=1024 ({tag}): dense {d:.2f}ms  toeplitz {tp:.2f}ms",

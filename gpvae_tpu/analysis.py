@@ -98,7 +98,10 @@ def impute(
     enc = encode(model, params, x)
     mean = enc[0] if isinstance(enc, tuple) else enc
     cfg = model.config
-    if cfg.prior == "gp" and use_prior_lengthscales:
+    if cfg.prior in ("gp", "sparse_gp") and use_prior_lengthscales:
+        # sparse_gp: conditioning under the prior's (exact) RBF kernel is
+        # the right analysis model — FITC only approximates the *training*
+        # KL, the generative prior is the same GP (sparse.py module doc)
         ls = jnp.exp(_param_or_const(model, params, "prior_log_ls", cfg))
     else:
         ls = jnp.exp(

@@ -447,7 +447,7 @@ def _writeback_jit(l, ld, ld_inv, panel_sub, block, nb, interpret):
         _wb_kernel,
         grid=(n // m, r // nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # aliased L, unread
+            pl.BlockSpec(memory_space=pl.ANY),  # aliased L, unread
             pl.BlockSpec((m, nb, nb), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m, nb, nb), lambda i, j: (i, 0, 0),
@@ -971,7 +971,7 @@ def _diag_parts_wb_jit(l, l11, a21, l22, block, nb, interpret):
         _diag_parts_kernel,
         grid=(n // m,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # aliased L, unread
+            pl.BlockSpec(memory_space=pl.ANY),  # aliased L, unread
             half, half, half,
         ],
         out_specs=pl.BlockSpec((m, nb, nb), lambda i: (i, b, b),
@@ -1087,7 +1087,7 @@ def _gram_defer1_jit(l, times, mask, ls, var, i11_0, i21_0, i22_0,
     in_specs = [
         vec, vec0, vec1, vec, vec0, vec1, par, par,
         pinned_h, pinned_h, pinned_h,             # ldi0 half parts
-        pl.BlockSpec(memory_space=pltpu.ANY),     # aliased L, unread
+        pl.BlockSpec(memory_space=pl.ANY),     # aliased L, unread
     ]
     with_sub = r > nb
     out_specs = (col_spec, pinned) + ((subo_spec,) if with_sub else ())

@@ -306,10 +306,12 @@ def fit_data_parallel(
                     f"step {step}: loss={float(host['loss']):.4f} "
                     f"({sps:.1f} steps/s x {mesh.shape[axis_name]} devices)"
                 )
-        if ckpt is not None and (
+        if ckpt is not None and not exhausted and (
             step % config.checkpoint_every < took
             and step >= config.checkpoint_every
         ):
+            # (when exhausted, the post-loop save below covers this state —
+            # saving here too would write the same checkpoint twice)
             ckpt.save(state)
         if exhausted:
             if verbose:

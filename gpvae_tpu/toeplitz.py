@@ -32,16 +32,26 @@ import jax.numpy as jnp
 
 from gpvae_tpu import kernels as kernels_lib
 
-# Block width for the blocked Schur/Durbin recursion (0 disables it and
-# every Durbin entry point falls back to the classical length-T scan).
-# 128 is both the fastest measured width and the most accurate (fewer
-# tail-update roundings: GS-identity error 1.7e-3 vs the scan's 3.0e-3 at
-# T=4096, ls=64, fp32 — see BASELINE.md round 4).
-_DURBIN_BLOCK = int(os.environ.get("GPVAE_DURBIN_BLOCK", "128"))
-# Below this order count the scan wins (the blocked path's per-block FFT
-# glue isn't amortized; both paths are exact so this is purely a perf
-# dispatch).
-_DURBIN_BLOCKED_MIN_T = int(os.environ.get("GPVAE_DURBIN_MIN_T", "256"))
+def _durbin_block_config() -> tuple[int, int]:
+    """(block width, min T) for the blocked Schur/Durbin dispatch.
+
+    Block width 0 disables the blocked path and every Durbin entry point
+    falls back to the classical length-T scan.  128 is both the fastest
+    measured width and the most accurate (fewer tail-update roundings:
+    GS-identity error 1.7e-3 vs the scan's 3.0e-3 at T=4096, ls=64, fp32 —
+    see BASELINE.md round 4).  Below ``min T`` orders the scan wins (the
+    blocked path's per-block conv glue isn't amortized; both paths are
+    exact so this is purely a perf dispatch).
+
+    Read from the environment on EVERY call and threaded into the jitted
+    entry points as static arguments, so the jit cache keys on the values
+    and changing ``GPVAE_DURBIN_BLOCK`` / ``GPVAE_DURBIN_MIN_T`` between
+    calls takes effect without ``jax.clear_caches()``.
+    """
+    return (
+        int(os.environ.get("GPVAE_DURBIN_BLOCK", "128")),
+        int(os.environ.get("GPVAE_DURBIN_MIN_T", "256")),
+    )
 
 
 def _clamp_alpha(alpha: jnp.ndarray) -> jnp.ndarray:
@@ -50,12 +60,14 @@ def _clamp_alpha(alpha: jnp.ndarray) -> jnp.ndarray:
     For a PD Toeplitz matrix every |alpha_k| < 1 exactly; fp32 rounding in
     near-singular regimes (e.g. T=4096, lengthscale spanning ~600 grid
     steps) can push a computed alpha past 1, making 1 - alpha^2 negative
-    and NaN-ing every downstream log.  The clamp is the identity whenever
-    |alpha| <= 1 - 3e-7 (below fp32 resolution of 1), so well-conditioned
-    paths are bit-unchanged; past it the recursion degrades gracefully
+    and NaN-ing every downstream log.  The limit is dtype-aware — 8 ulps
+    below 1 (fp32 ~1e-6, fp64 ~1.8e-15) — so the clamp is the identity for
+    every alpha the dtype can meaningfully represent inside the PD region
+    (fp64 oracles and near-singular fp64 callers keep full precision and
+    gradient flow); past it the recursion degrades gracefully
     instead of poisoning the whole logdet (measured: the clamped blocked
     path matches the fp64 oracle to 1.8e-4 in the regime that NaN'd)."""
-    lim = jnp.asarray(1.0 - 3e-7, alpha.dtype)
+    lim = jnp.asarray(1.0, alpha.dtype) - 8 * jnp.finfo(alpha.dtype).eps
     return jnp.clip(alpha, -lim, lim)
 
 
@@ -262,14 +274,14 @@ def _durbin_schur_blocked(rho: jnp.ndarray, nb: int):
     return acc, a[:, 1:], jnp.exp(log_e)
 
 
-def _durbin_flat(flat_rho: jnp.ndarray):
+def _durbin_flat(flat_rho: jnp.ndarray, block: int, min_t: int):
     """Dispatch: blocked Schur for long sequences, classical scan below
     the crossover.  ``flat_rho [B, t1]`` -> (sum_log_e, y, e), each
     batched.  Both paths compute identical quantities (same recursion,
     different schedule)."""
     t1 = flat_rho.shape[-1]
-    if _DURBIN_BLOCK > 0 and t1 + 1 >= _DURBIN_BLOCKED_MIN_T:
-        return _durbin_schur_blocked(flat_rho, _DURBIN_BLOCK)
+    if block > 0 and t1 + 1 >= min_t:
+        return _durbin_schur_blocked(flat_rho, block)
 
     def one(r):
         log_e, y, _rev, e = _durbin_scan(r)
@@ -278,7 +290,17 @@ def _durbin_flat(flat_rho: jnp.ndarray):
     return jax.vmap(one)(flat_rho)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("block", "min_t"))
+def _durbin_logdet_impl(row, block: int, min_t: int):
+    row = jnp.asarray(row)
+    batch = row.shape[:-1]
+    t = row.shape[-1]
+    flat = row.reshape((-1, t))
+    r0 = flat[:, 0]
+    sum_log_e, _, _ = _durbin_flat(flat[:, 1:] / r0[:, None], block, min_t)
+    return (t * jnp.log(r0) + sum_log_e).reshape(batch)
+
+
 def durbin_logdet(row: jnp.ndarray) -> jnp.ndarray:
     """logdet of the symmetric PD Toeplitz matrix with first row ``row``
     (``[..., T]`` -> ``[...]``), O(T^2) instead of O(T^3).
@@ -286,13 +308,8 @@ def durbin_logdet(row: jnp.ndarray) -> jnp.ndarray:
     det T_n = prod_{k=0}^{n-1} E_k with E_0 = r_0 and the Durbin
     prediction-error recursion E_k = E_{k-1} (1 - alpha_k^2).
     """
-    row = jnp.asarray(row)
-    batch = row.shape[:-1]
-    t = row.shape[-1]
-    flat = row.reshape((-1, t))
-    r0 = flat[:, 0]
-    sum_log_e, _, _ = _durbin_flat(flat[:, 1:] / r0[:, None])
-    return (t * jnp.log(r0) + sum_log_e).reshape(batch)
+    block, min_t = _durbin_block_config()
+    return _durbin_logdet_impl(row, block=block, min_t=min_t)
 
 
 def tri_toeplitz(col: jnp.ndarray) -> jnp.ndarray:
@@ -305,7 +322,27 @@ def tri_toeplitz(col: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(i >= j, col[..., idx], jnp.zeros((), col.dtype))
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("block", "min_t"))
+def _durbin_gs_factors_impl(row, block: int, min_t: int):
+    row = jnp.asarray(row)
+    batch = row.shape[:-1]
+    t = row.shape[-1]
+    flat = row.reshape((-1, t))
+    r0 = flat[:, 0]
+    sum_log_e, y, e = _durbin_flat(flat[:, 1:] / r0[:, None], block, min_t)
+    logdet = t * jnp.log(r0) + sum_log_e
+    ones = jnp.ones((flat.shape[0], 1), flat.dtype)
+    zeros = jnp.zeros((flat.shape[0], 1), flat.dtype)
+    a = jnp.concatenate([ones, y], axis=1)
+    b = jnp.concatenate([zeros, y[:, ::-1]], axis=1)   # (0, rev_y)
+    return (
+        logdet.reshape(batch),
+        a.reshape(batch + (t,)),
+        b.reshape(batch + (t,)),
+        (r0 * e).reshape(batch),
+    )
+
+
 def durbin_gs_factors(
     row: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -325,23 +362,8 @@ def durbin_gs_factors(
     Cholesky for uniform grids (BASELINE.json config 3; all reference MNIST
     grids are uniform, src/Models/Full_GP_VAE_fixed_for_MovMnist.py:280).
     """
-    row = jnp.asarray(row)
-    batch = row.shape[:-1]
-    t = row.shape[-1]
-    flat = row.reshape((-1, t))
-    r0 = flat[:, 0]
-    sum_log_e, y, e = _durbin_flat(flat[:, 1:] / r0[:, None])
-    logdet = t * jnp.log(r0) + sum_log_e
-    ones = jnp.ones((flat.shape[0], 1), flat.dtype)
-    zeros = jnp.zeros((flat.shape[0], 1), flat.dtype)
-    a = jnp.concatenate([ones, y], axis=1)
-    b = jnp.concatenate([zeros, y[:, ::-1]], axis=1)   # (0, rev_y)
-    return (
-        logdet.reshape(batch),
-        a.reshape(batch + (t,)),
-        b.reshape(batch + (t,)),
-        (r0 * e).reshape(batch),
-    )
+    block, min_t = _durbin_block_config()
+    return _durbin_gs_factors_impl(row, block=block, min_t=min_t)
 
 
 def _fft_len(t: int) -> int:

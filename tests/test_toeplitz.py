@@ -91,16 +91,15 @@ def test_blocked_durbin_matches_scan(nb, monkeypatch):
     including a non-divisible T (remainder block masking)."""
     for t in (45, 257):
         row = jnp.asarray(make_row(t, 3.0))
-        monkeypatch.setattr(toeplitz, "_DURBIN_BLOCK", 0)
-        jax.clear_caches()  # jit caches do not key on the width flag
+        # env vars are re-read per call and thread through jit as static
+        # args — no jax.clear_caches() needed (round-5 advisor fix)
+        monkeypatch.setenv("GPVAE_DURBIN_BLOCK", "0")
         want = [np.asarray(v) for v in toeplitz.durbin_gs_factors(row[None])]
-        monkeypatch.setattr(toeplitz, "_DURBIN_BLOCK", nb)
-        monkeypatch.setattr(toeplitz, "_DURBIN_BLOCKED_MIN_T", 1)
-        jax.clear_caches()
+        monkeypatch.setenv("GPVAE_DURBIN_BLOCK", str(nb))
+        monkeypatch.setenv("GPVAE_DURBIN_MIN_T", "1")
         got = [np.asarray(v) for v in toeplitz.durbin_gs_factors(row[None])]
         for g, w in zip(got, want):
             np.testing.assert_allclose(g, w, rtol=1e-9, atol=1e-10)
-    jax.clear_caches()
 
 
 def test_blocked_durbin_gradient_matches_scan(monkeypatch):
@@ -114,15 +113,12 @@ def test_blocked_durbin_gradient_matches_scan(monkeypatch):
         return jnp.sum(ld) + jnp.sum(a * a) + jnp.sum(b * b) + jnp.sum(e)
 
     ls = jnp.asarray([3.0], jnp.float64)
-    monkeypatch.setattr(toeplitz, "_DURBIN_BLOCK", 0)
-    jax.clear_caches()
+    monkeypatch.setenv("GPVAE_DURBIN_BLOCK", "0")
     want = np.asarray(jax.grad(f)(ls))
-    monkeypatch.setattr(toeplitz, "_DURBIN_BLOCK", 16)
-    monkeypatch.setattr(toeplitz, "_DURBIN_BLOCKED_MIN_T", 1)
-    jax.clear_caches()
+    monkeypatch.setenv("GPVAE_DURBIN_BLOCK", "16")
+    monkeypatch.setenv("GPVAE_DURBIN_MIN_T", "1")
     got = np.asarray(jax.grad(f)(ls))
     np.testing.assert_allclose(got, want, rtol=1e-8)
-    jax.clear_caches()
 
 
 def test_durbin_gs_fp32_stability_t4096():
