@@ -297,7 +297,8 @@ def time_cholesky(t: int, n: int, reps: int = 6, inner: int | None = None,
 
 
 def time_cholesky_fused(t: int, n: int, reps: int = 6, inner: int | None = None,
-                        verbose: bool = False) -> float:
+                        verbose: bool = False,
+                        zero_upper: bool = True) -> float:
     """Fused gram+Cholesky+logdet TFLOP/s: the production covariance op
     (``gp.chol_gram_bank`` route) — gram tiles are built in-kernel from the
     O(N*T) time vectors, so the [N, T, T] gram never exists in HBM.
@@ -324,7 +325,8 @@ def time_cholesky_fused(t: int, n: int, reps: int = 6, inner: int | None = None,
         def body(_, acc):
             tt, _a = jax.lax.optimization_barrier((times, acc))
             l = pallas_big.cholesky_gram_inplace(tt, ls, None, var,
-                                                 noise=1e-2)
+                                                 noise=1e-2,
+                                                 zero_upper=zero_upper)
             ld = logdet_from_chol(l)
             l = jax.lax.optimization_barrier(l)
             return acc + ld.sum() + jnp.sum(l[..., 0, :1])
@@ -418,11 +420,15 @@ def time_train_t1024(n_stack: int = 64, n_rounds: int = 3,
     return n_stack / dt_chunk
 
 
-def time_dp_step_virtual_mesh(timeout: float = 900.0) -> float | None:
-    """BASELINE config 5 evidence: one data-parallel T=1024 step over an
-    8-device *virtual CPU mesh*, measured in a subprocess (this process's
-    backend is already initialized for the TPU).  Returns seconds per step
-    (compile excluded) or None."""
+def time_dp_step_virtual_mesh(timeout: float = 2400.0) -> dict | None:
+    """Virtual-mesh DP smoke artifact: the scanned k=2 multi-step DP
+    program at global batch 64 over an 8-device virtual CPU mesh vs a
+    1-device mesh of the same backend, in a subprocess (this process's
+    backend is already initialized for the TPU).  NOTE this is a
+    trace/execute smoke, NOT scaling evidence: XLA-CPU multithreads one
+    device across all host cores, so the 8-way shard only adds partition
+    overhead (measured ratio ~0.02) — real-hardware DP evidence is
+    time_dp_tpu.  Returns the subprocess dict or None."""
     import subprocess
     import sys as _sys
 
@@ -442,10 +448,29 @@ def time_dp_step_virtual_mesh(timeout: float = 900.0) -> float | None:
         )
         for line in reversed(out.stdout.splitlines()):
             if line.startswith("{"):
-                return json.loads(line)["dp_step_seconds"]
+                return json.loads(line)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] dp subprocess failed: {type(e).__name__}: {e}")
     return None
+
+
+def time_dp_tpu(config: str = "toy", k: int = 64) -> float | None:
+    """BASELINE config 5 on REAL hardware: the sharded DP program
+    (parallel.make_parallel_multi_step — NamedSharding operands, psum
+    gradient reduction from the output sharding) compiled and trained on a
+    1-device TPU mesh.  Multi-chip isn't available in this environment;
+    this proves the pjit-sharded-operand + Mosaic-kernel composition on
+    the actual chip and is expected to match plain fit within spread
+    (round-5 measurements: toy 7,602 vs 7,800; t1024 388 vs 385)."""
+    import sys as _sys
+
+    bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks")
+    if bdir not in _sys.path:
+        _sys.path.insert(0, bdir)
+    from dp_tpu import run_dp_tpu
+
+    return run_dp_tpu(config, k=k, verbose=False)["steps_per_sec"]
 
 
 def time_toeplitz_kl(t: int = 1024, b: int = 8, z: int = 2,
@@ -654,9 +679,15 @@ def main(verbose: bool = False):
     tflops_f256 = _guarded(time_cholesky_fused, 256, 512, verbose=verbose)
     tflops_f1024 = _guarded(time_cholesky_fused, 1024, 128, reps=4,
                             verbose=verbose)
+    # lower-only output (VERDICT r4 #3 roofline lever): skips the ~235 MB
+    # strictly-upper zero-tile write; the logdet consumer reads only
+    # diagonal tiles, so the measured op + consume is exact
+    tflops_f1024_lower = _guarded(time_cholesky_fused, 1024, 128, reps=4,
+                                  verbose=verbose, zero_upper=False)
     toep = _guarded(time_toeplitz_kl, verbose=verbose) or {}
     sp4096 = _guarded(time_sparse_t4096, verbose=verbose) or {}
-    dp_step = _guarded(time_dp_step_virtual_mesh)
+    dp_step = _guarded(time_dp_step_virtual_mesh) or {}
+    dp_tpu = _guarded(time_dp_tpu)
     # re-run the headline last and report best-of: the first run eats any
     # residual tunnel/page-in warmup, the last any transient contention
     sps_again = _guarded(time_train, "pallas", verbose=verbose)
@@ -688,11 +719,16 @@ def main(verbose: bool = False):
             "chol_logdet_tflops_T1024_N128": r(tflops_1024, 4),
             "fused_gram_chol_logdet_tflops_T256_N512": r(tflops_f256, 4),
             "fused_gram_chol_logdet_tflops_T1024_N128": r(tflops_f1024, 4),
+            "fused_lower_only_tflops_T1024_N128": r(tflops_f1024_lower, 4),
             "toeplitz_prior_kl_T1024_ms": r(toep.get("toeplitz_ms")),
             "dense_prior_kl_T1024_ms": r(toep.get("dense_ms")),
             "sparse_t4096_steps_per_sec": r(sp4096.get("steps_per_sec")),
             "sparse_t4096_fitc_kl_ms": r(sp4096.get("fitc_kl_ms"), 3),
-            "dp_scale_virtual8_step_seconds": r(dp_step, 3),
+            "dp_tpu_1dev_steps_per_sec": r(dp_tpu),
+            "dp_virtual8_step_seconds": r(
+                dp_step.get("dp_step_seconds"), 3),
+            "dp_virtual8_vs_1dev_ratio": r(
+                dp_step.get("dp_scaling_efficiency"), 4),
             "host_roundtrip_ms": round(host_roundtrip_latency() * 1e3, 1),
         },
     }

@@ -110,6 +110,7 @@ def impute(
     post = gp.posterior_conditional(
         times, mean * kept_mask[..., None].astype(mean.dtype), times, ls,
         mask_obs=kept_mask, kernel=cfg.kernel, noise=cfg.noise,
+        with_cov=sample,  # mean-imputation never reads S* (537 MB at T=4096)
     )
     if sample:
         z_full = gp.posterior_sample(key, post)[0]

@@ -639,6 +639,7 @@ def posterior_conditional(
     noise: float = kernels_lib.DEFAULT_NOISE,
     variance: jnp.ndarray | float = 1.0,
     jitter: float | None = None,
+    with_cov: bool = True,
 ) -> GPPosterior:
     """Batched GP conditioning p(z(t_query) | z(t_obs)) per latent dim.
 
@@ -656,6 +657,10 @@ def posterior_conditional(
 
     * ``times_obs`` ``[B, To]``, ``z_obs`` ``[B, To, Z]``,
       ``times_query`` ``[B, Tq]``.
+
+    ``with_cov=False`` skips ``K_qq`` and ``S*`` entirely and returns
+    ``cov=None`` — at T=4096 the posterior covariance is a 537 MB/seq
+    buffer that mean-imputation never reads.
     """
     if jitter is None:
         # fp32 factorizations need ~1e-4 headroom on near-singular RBF
@@ -672,10 +677,6 @@ def posterior_conditional(
         times_obs, times_query, lengthscales, kernel=kernel, noise=noise,
         variance=variance, mask_a=mask_obs,
     )
-    k_qq = kernels_lib.gram_bank(
-        times_query, lengthscales, kernel=kernel, noise=noise,
-        variance=variance,
-    )
     l = cholesky(k_oo)
     a = solve_triangular(l, k_oq)                      # [B, Z, To, Tq]
     z_bz = jnp.swapaxes(z_obs, -1, -2)[..., None]      # [B, Z, To, 1]
@@ -685,6 +686,12 @@ def posterior_conditional(
     mean = jnp.einsum(
         "bzoq,bzor->bzqr", a, alpha, preferred_element_type=jnp.float32
     )[..., 0]                                          # [B, Z, Tq]
+    if not with_cov:
+        return GPPosterior(mean=jnp.swapaxes(mean, -1, -2), cov=None)
+    k_qq = kernels_lib.gram_bank(
+        times_query, lengthscales, kernel=kernel, noise=noise,
+        variance=variance,
+    )
     cov = k_qq - jnp.einsum(
         "bzoq,bzor->bzqr", a, a, preferred_element_type=jnp.float32
     )

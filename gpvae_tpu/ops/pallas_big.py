@@ -807,8 +807,10 @@ def _init0_parts_kernel(rmap_ref, cmap_ref, l11_ref, a21_ref, l22_ref,
         out_ref[...] = jnp.zeros_like(out_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("t", "nb", "interpret"))
-def _init0_parts_jit(l11, a21, l22, t, nb, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("t", "nb", "interpret", "zero_upper")
+)
+def _init0_parts_jit(l11, a21, l22, t, nb, interpret, zero_upper=True):
     import numpy as np
 
     n = l11.shape[0]
@@ -821,9 +823,16 @@ def _init0_parts_jit(l11, a21, l22, t, nb, interpret):
             jnp.concatenate([a21, l22], axis=2),
         ], axis=1)
         return jnp.pad(ld, ((0, 0), (0, t - nb), (0, t - nb)))
-    # tile list: u=0 -> (0, 0) diag; then the strictly-upper (j < c) zeros
+    # tile list: u=0 -> (0, 0) diag; then the strictly-upper (j < c) zeros.
+    # zero_upper=False skips the latter — the strictly-upper TILES of the
+    # output are then undefined (lower-only contract: every production
+    # consumer of this op class reads only diagonal/lower tiles — logdet
+    # diag extraction, tri_inv_flat levels, trsm, the VJP triple product;
+    # zero the upper explicitly before any dense-matmul consumer like the
+    # sampling einsum).  At T=1024 N=128 the skipped write is ~235 MB
+    # (~0.4 ms of a 3.54 ms op) — the roofline lever of VERDICT r4 #3.
     rows, cols = [0], [0]
-    for c in range(1, nblk):
+    for c in range(1, nblk if zero_upper else 0):
         for j in range(c):
             rows.append(j)
             cols.append(c)
@@ -1122,6 +1131,7 @@ def cholesky_gram_inplace(
     kernel: str = "rbf",
     noise: float = 1e-3,
     nb: int = 128,
+    zero_upper: bool = True,
 ) -> jnp.ndarray:
     """Fused gram construction + in-place blocked Cholesky.
 
@@ -1132,11 +1142,18 @@ def cholesky_gram_inplace(
     time vectors — at T=1024 N=128 this deletes a 537 MB gram write AND a
     537 MB K read from the critical path (the large-T extension of the
     T<=64 lane-fused ``gram_chol_fused``, SURVEY.md §2.3).
+
+    ``zero_upper=False`` (TPU path only) additionally skips the
+    strictly-upper zero-tile writes — the output's upper TILES are then
+    undefined.  Lower-only consumers (logdet diag extraction, tri_inv,
+    trsm, the Cholesky VJP) are exact under this contract; apply
+    ``jnp.tril`` before any dense-matmul consumer (the sampling einsum).
     """
     from gpvae_tpu.ops import chol as chol_lib
     from gpvae_tpu import kernels as kernels_lib
 
     n, t = times.shape
+    nb = _nb_for_t(t, nb)
     f32 = jnp.float32
     times = times.astype(f32)
     mk = (jnp.ones((n, t), f32) if mask is None
@@ -1196,7 +1213,8 @@ def cholesky_gram_inplace(
             mask=mk[:, :nb] > 0.5,
         )
         l11, a21, l22, i11, i21, i22 = chol_lib.chol_inv_parts(k00)
-    l = _init0_parts_jit(l11, a21, l22, t_pad, nb, False)
+    l = _init0_parts_jit(l11, a21, l22, t_pad, nb, False,
+                         zero_upper=zero_upper)
     sub_prev = None
     iparts = (i11, i21, i22)
     for b in range(1, num_blocks):
@@ -1223,6 +1241,18 @@ def cholesky_gram_inplace(
 # Driver
 # ---------------------------------------------------------------------------
 
+def _nb_for_t(t: int, nb: int) -> int:
+    """Clamp the block width so the defer kernels' resident history row
+    (width up to T - nb) fits the 16 MB scoped-VMEM limit at one matrix
+    per slab.  Measured on-chip: nb=256 at T=4096 needs 17.73 MB > 16
+    (the _defer_slab estimate under-counts Mosaic's stack by ~1.3x);
+    nb=128 fits through T=8192.  Above that the streamed paths are the
+    answer, not this one."""
+    if t > 2048 and nb > 128:
+        return 128
+    return nb
+
+
 def cholesky_inplace(k: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
     """Left-looking blocked batched Cholesky of ``k [N, T, T]``, in-place
     column writes, compensated bf16 contractions.  T padded to a multiple
@@ -1230,6 +1260,7 @@ def cholesky_inplace(k: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
     from gpvae_tpu.ops import chol as chol_lib
 
     n, t, _ = k.shape
+    nb = _nb_for_t(t, nb)
     num_blocks = -(-t // nb)
     t_pad = num_blocks * nb
     if t_pad != t:

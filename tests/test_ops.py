@@ -566,3 +566,43 @@ def test_diag_slab_mosaic_legal():
     np.testing.assert_array_equal(
         np.asarray(got), np.asarray(jnp.diagonal(l, axis1=-2, axis2=-1))
     )
+
+
+def test_nb_clamp_for_large_t():
+    """T > 2048 clamps the in-place block width to 128: at T=4096 the
+    nb=256 defer kernels' resident history row exceeds the 16 MB scoped
+    VMEM limit on-chip (round-5 fix; driven at [16, 4096, 4096] on the
+    real TPU).  Also pins the clamp's no-op range."""
+    from gpvae_tpu.ops import pallas_big
+
+    assert pallas_big._nb_for_t(1024, 256) == 256
+    assert pallas_big._nb_for_t(2048, 256) == 256
+    assert pallas_big._nb_for_t(4096, 256) == 128
+    assert pallas_big._nb_for_t(4096, 128) == 128
+
+
+def test_zero_upper_contract_interpret():
+    """zero_upper=False must leave diagonal + lower tiles bit-identical to
+    the zero-filled op (the lower-only consumer contract: logdet diag
+    extraction, tri_inv, trsm, the VJP triple product read only those).
+    On the interpret path the upper stays zero-filled either way; the
+    on-chip equality of the written region is driven by the round-5
+    verify session."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpvae_tpu.ops import pallas_big
+
+    rng = np.random.default_rng(0)
+    n, t = 4, 256
+    times = jnp.asarray(
+        np.sort(rng.uniform(0, 60, (n, t)), -1).astype(np.float32)
+    )
+    ls = jnp.full((n,), 9.0, jnp.float32)
+    var = jnp.ones((n,), jnp.float32)
+    l_full = pallas_big.cholesky_gram_inplace(times, ls, None, var)
+    l_low = pallas_big.cholesky_gram_inplace(times, ls, None, var,
+                                             zero_upper=False)
+    np.testing.assert_array_equal(
+        np.tril(np.asarray(l_low)), np.tril(np.asarray(l_full))
+    )
