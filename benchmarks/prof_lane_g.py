@@ -99,6 +99,17 @@ def _run_g(kt, g_blk, with_inv):
     g_total, t, _, lanes = kt.shape
     spec = pl.BlockSpec((g_blk, t, t, lanes),
                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    # G>1 blocks exceed the default 16 MB scoped-VMEM limit (first A/B run:
+    # "23.56M vs 16.00M" at G=2 chol-only); raise it like the production
+    # glue kernels do (pallas_chol._glue_params)
+    blk_bytes = g_blk * t * t * lanes * 4
+    n_bufs = 3 if with_inv else 2
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=min(
+            120 * 1024 * 1024,
+            max(16 * 1024 * 1024, int(blk_bytes * (n_bufs + 3) * 1.5)),
+        ),
+    )
     if with_inv:
         return pl.pallas_call(
             _chol_inv_kernel_g,
@@ -108,12 +119,14 @@ def _run_g(kt, g_blk, with_inv):
                 jax.ShapeDtypeStruct(kt.shape, jnp.float32),
                 jax.ShapeDtypeStruct(kt.shape, jnp.float32),
             ),
+            compiler_params=params,
         )(kt)
     return pl.pallas_call(
         _chol_kernel_g,
         grid=(g_total // g_blk,),
         in_specs=[spec], out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(kt.shape, jnp.float32),
+        compiler_params=params,
     )(kt)
 
 
