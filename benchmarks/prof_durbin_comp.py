@@ -32,12 +32,15 @@ import numpy as np
 from gpvae_tpu import toeplitz as tz
 
 
-def _blocked_hybrid(rho, nb, *, window_dt, theta_dt, tail_dt):
+def _blocked_hybrid(rho, nb, *, window_dt, theta_dt, tail_dt,
+                    theta_mode="plain"):
     """toeplitz._durbin_schur_blocked with per-stage dtype knobs.
 
     Identical schedule to the production path; the only difference is the
     dtype each stage computes in (casts at stage boundaries round back to
     the carry dtype fp32 unless the stage keeps fp64 state alive).
+    ``theta_mode="comp"`` routes the tree through the production two-float
+    :func:`toeplitz._theta_tree_comp` instead of the dtype-cast plain tree.
     Returns sum_log_e [B] in fp64.
     """
     bsz, t1 = rho.shape
@@ -91,7 +94,12 @@ def _blocked_hybrid(rho, nb, *, window_dt, theta_dt, tail_dt):
         log_e = log_e + cum[:, -1]
 
         # --- theta tree (stage 2) ---
-        th11, th12, th21, th22 = tz._theta_tree(al_blk.astype(theta_dt))
+        if theta_mode == "comp":
+            th11, th12, th21, th22 = tz._theta_tree_comp(
+                al_blk.astype(theta_dt)
+            )
+        else:
+            th11, th12, th21, th22 = tz._theta_tree(al_blk.astype(theta_dt))
 
         # --- tail convolutions (stage 3) ---
         left = jnp.stack([s, s, a, a]).reshape(4 * bsz, t).astype(tail_dt)
@@ -148,14 +156,16 @@ def main():
 
     f32, f64 = jnp.float32, jnp.float64
     cases = {
-        "all fp32 (production)": (f32, f32, f32),
-        "window fp64": (f64, f32, f32),
-        "theta fp64": (f32, f64, f32),
-        "tail fp64": (f32, f32, f64),
-        "window+theta fp64": (f64, f64, f32),
-        "window+tail fp64": (f64, f32, f64),
-        "theta+tail fp64": (f32, f64, f64),
-        "all fp64": (f64, f64, f64),
+        "all fp32 (production)": (f32, f32, f32, "plain"),
+        "window fp64": (f64, f32, f32, "plain"),
+        "theta fp64": (f32, f64, f32, "plain"),
+        "theta comp (production)": (f32, f32, f32, "comp"),
+        "tail fp64": (f32, f32, f64, "plain"),
+        "window+theta fp64": (f64, f64, f32, "plain"),
+        "window+tail fp64": (f64, f32, f64, "plain"),
+        "theta+tail fp64": (f32, f64, f64, "plain"),
+        "theta comp + tail fp64": (f32, f32, f64, "comp"),
+        "all fp64": (f64, f64, f64, "plain"),
     }
     print(f"T={t} nb={nb} ls={ls} noise={noise}  oracle logdet={want:.9e}")
 
@@ -172,9 +182,9 @@ def main():
         got = t * np.log(r0) + float(sle[0])
         rel = abs(got - want) / abs(want)
         print(f"  {tag:28s} logdet={got:.9e}  rel={rel:.2e}")
-    for name, (wd, thd, tld) in cases.items():
+    for name, (wd, thd, tld, tm) in cases.items():
         sum_log_e = _blocked_hybrid(rho, nb, window_dt=wd, theta_dt=thd,
-                                    tail_dt=tld)
+                                    tail_dt=tld, theta_mode=tm)
         got = t * np.log(r0) + float(sum_log_e[0])
         rel = abs(got - want) / abs(want)
         print(f"  {name:24s} logdet={got:.9e}  rel={rel:.2e}")

@@ -32,8 +32,9 @@ import jax.numpy as jnp
 
 from gpvae_tpu import kernels as kernels_lib
 
-def _durbin_block_config() -> tuple[int, int]:
-    """(block width, min T) for the blocked Schur/Durbin dispatch.
+def _durbin_block_config() -> tuple[int, int, bool]:
+    """(block width, min T, compensated theta) for the blocked
+    Schur/Durbin dispatch.
 
     Block width 0 disables the blocked path and every Durbin entry point
     falls back to the classical length-T scan.  128 is both the fastest
@@ -43,14 +44,24 @@ def _durbin_block_config() -> tuple[int, int]:
     blocked path's per-block conv glue isn't amortized; both paths are
     exact so this is purely a perf dispatch).
 
+    ``GPVAE_DURBIN_COMP`` (default on) routes the per-block Szego
+    transfer-matrix product through the two-float compensated tree
+    (:func:`_theta_tree_comp`) — per-stage fp64 attribution measured the
+    theta products as carrying essentially ALL of the blocked path's
+    fp32 logdet error at T=4096 near-singular conditioning (3.3e-4
+    all-fp32 vs 7.4e-6 with accurate theta; window recursion and tail
+    convs each contribute <1e-5 — benchmarks/prof_durbin_comp.py).
+
     Read from the environment on EVERY call and threaded into the jitted
     entry points as static arguments, so the jit cache keys on the values
-    and changing ``GPVAE_DURBIN_BLOCK`` / ``GPVAE_DURBIN_MIN_T`` between
-    calls takes effect without ``jax.clear_caches()``.
+    and changing ``GPVAE_DURBIN_BLOCK`` / ``GPVAE_DURBIN_MIN_T`` /
+    ``GPVAE_DURBIN_COMP`` between calls takes effect without
+    ``jax.clear_caches()``.
     """
     return (
         int(os.environ.get("GPVAE_DURBIN_BLOCK", "128")),
         int(os.environ.get("GPVAE_DURBIN_MIN_T", "256")),
+        os.environ.get("GPVAE_DURBIN_COMP", "1") != "0",
     )
 
 
@@ -176,7 +187,157 @@ def _theta_tree(alphas: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     return tuple(x[:, 0].astype(dt) for x in (th11, th12, th21, th22))
 
 
-def _durbin_schur_blocked(rho: jnp.ndarray, nb: int):
+def _rp(x):
+    """Optimization barrier for error-free transformations: round ``x``
+    to its own storage format via ``lax.reduce_precision`` — numerically
+    the identity for an fp32/fp64 value, but opaque to XLA's algebraic
+    simplifier.  Without it, whole-module compilation (an outer ``jit``)
+    rewrites TwoSum's ``(a + b) - a`` style residuals to their exact-
+    arithmetic values (zero), silently collapsing the compensated path
+    back to plain fp32 — measured: jitted ``durbin_gs_factors`` read
+    8.45e-4 at the T=4096 near-singular regime while the eagerly-run
+    scan read 6.7e-6, on BOTH CPU and TPU, before these barriers."""
+    if x.dtype == jnp.float64:
+        return jax.lax.reduce_precision(x, 11, 52)
+    return jax.lax.reduce_precision(x, 8, 23)
+
+
+def _ds_add(ah, al, bh, bl):
+    """Two-float (double-single) sum: Knuth TwoSum on the hi parts, lo
+    parts folded into the error, one renormalization.  ~2^-48 relative
+    per op at fp32 — the extended-precision accumulator the compensated
+    theta tree runs on.  Every rounding-sensitive intermediate passes
+    through the :func:`_rp` barrier (see there)."""
+    s = _rp(ah + bh)
+    v = _rp(s - ah)
+    e = _rp(_rp(ah - _rp(s - v)) + _rp(bh - v))
+    lo = _rp(e + al + bl)
+    hi = _rp(s + lo)
+    return hi, _rp(lo - _rp(hi - s))
+
+
+_SPLIT32 = 4097.0          # 2^12 + 1 (Dekker split for fp32)
+_SPLIT64 = 134217729.0     # 2^27 + 1 (fp64)
+
+
+def _two_prod(a, b):
+    """Exact product ``a*b = p + err`` via Dekker splitting (no FMA
+    assumed; if XLA fuses the residual into an FMA the result is the
+    same error term, computed faster).  :func:`_rp` barriers keep the
+    split and the residual out of the simplifier's reach."""
+    p = _rp(a * b)
+    split = jnp.asarray(
+        _SPLIT32 if a.dtype == jnp.float32 else _SPLIT64, a.dtype
+    )
+    sa = _rp(split * a)
+    ah = _rp(sa - _rp(sa - a))
+    al = _rp(a - ah)
+    sb = _rp(split * b)
+    bh = _rp(sb - _rp(sb - b))
+    bl = _rp(b - bh)
+    err = _rp(_rp(_rp(ah * bh - p) + ah * bl + al * bh) + al * bl)
+    return p, err
+
+
+def _ds_mul(ah, al, bh, bl):
+    """Two-float product (drops the lo*lo term, below 2^-48)."""
+    p, e = _two_prod(ah, bh)
+    e = _rp(e + _rp(ah * bl + al * bh))
+    hi = _rp(p + e)
+    return hi, _rp(e - _rp(hi - p))
+
+
+def _skew(p):
+    """``p [.., La, Lb] -> q [.., La, La+Lb-1]`` with
+    ``q[i, i:i+Lb] = p[i]`` (row i shifted right by i) — the classic
+    pad-flatten-slice skew: row i of the width-(Lout+1) padded matrix
+    starts at flat index ``i*(Lout+1) = i*Lout + i``, exactly where the
+    shifted row must land in the flat view of ``q``.  Pure layout ops;
+    a take_along_axis gather here measured ~49x slower on TPU."""
+    la, lb = p.shape[-2], p.shape[-1]
+    lout = la + lb - 1
+    pad = [(0, 0)] * (p.ndim - 1) + [(0, la)]
+    q = jnp.pad(p, pad)                             # [.., La, Lout+1]
+    q = q.reshape(p.shape[:-2] + (la * (lout + 1),))
+    return q[..., : la * lout].reshape(p.shape[:-2] + (la, lout))
+
+
+def _ds_poly_mul(ah, al, bh, bl):
+    """Polynomial product with two-float coefficients:
+    ``a [..., La] (*) b [..., Lb] -> c [..., La+Lb-1]``.
+
+    Pairwise coefficient products are exact (TwoProd); the anti-diagonal
+    accumulation — where the fp32 cancellation that corrupts the Szego
+    transfer matrices lives — runs as a log-depth pairwise two-float
+    reduction over skewed rows.  All VPU elementwise / layout work on
+    tiny [8, B, pairs, L, L'] tensors (<= ~70k entries per buffer at
+    nb=128), nothing near the tail convolutions' cost."""
+    la = ah.shape[-1]
+    ph, pl = _ds_mul(ah[..., :, None], al[..., :, None],
+                     bh[..., None, :], bl[..., None, :])   # [.., La, Lb]
+    qh = _skew(ph)
+    ql = _skew(pl)
+    n = 1
+    while n < la:
+        n *= 2
+    if n != la:
+        pad = [(0, 0)] * (qh.ndim - 2) + [(0, n - la), (0, 0)]
+        qh = jnp.pad(qh, pad)
+        ql = jnp.pad(ql, pad)
+    while n > 1:
+        h = n // 2
+        qh, ql = _ds_add(qh[..., :h, :], ql[..., :h, :],
+                         qh[..., h:, :], ql[..., h:, :])
+        n = h
+    return qh[..., 0, :], ql[..., 0, :]
+
+
+def _theta_tree_comp(alphas: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """Compensated :func:`_theta_tree`: identical pairwise product order,
+    coefficients carried in two-float through every level, hi parts
+    returned (rounding the *result* to fp32 is harmless — measured
+    7.4e-6 logdet rel err with exact theta vs 3.3e-4 all-fp32 at the
+    T=4096 near-singular regime, benchmarks/prof_durbin_comp.py)."""
+    bsz, nb = alphas.shape
+    dt = alphas.dtype
+    zeros = jnp.zeros_like(alphas)
+    ones = jnp.ones_like(alphas)
+    # leaves [B, nb, 2]: [th11, th12, th21, th22]
+    hi = [
+        jnp.stack([ones, zeros], -1),
+        jnp.stack([zeros, alphas], -1),
+        jnp.stack([alphas, zeros], -1),
+        jnp.stack([zeros, ones], -1),
+    ]
+    lo = [jnp.zeros_like(x) for x in hi]
+    p = nb
+    while p > 1:
+        a_h = [x[:, 1::2] for x in hi]  # later factor = LEFT
+        a_l = [x[:, 1::2] for x in lo]
+        b_h = [x[:, 0::2] for x in hi]
+        b_l = [x[:, 0::2] for x in lo]
+        # c11 = A11 B11 + A12 B21, c12 = A11 B12 + A12 B22,
+        # c21 = A21 B11 + A22 B21, c22 = A21 B12 + A22 B22
+        ka = jnp.stack([a_h[0], a_h[1], a_h[0], a_h[1],
+                        a_h[2], a_h[3], a_h[2], a_h[3]])
+        kal = jnp.stack([a_l[0], a_l[1], a_l[0], a_l[1],
+                         a_l[2], a_l[3], a_l[2], a_l[3]])
+        kb = jnp.stack([b_h[0], b_h[2], b_h[1], b_h[3],
+                        b_h[0], b_h[2], b_h[1], b_h[3]])
+        kbl = jnp.stack([b_l[0], b_l[2], b_l[1], b_l[3],
+                         b_l[0], b_l[2], b_l[1], b_l[3]])
+        ch, cl = _ds_poly_mul(ka, kal, kb, kbl)  # [8, B, p/2, 2ln-1]
+        hi, lo = [], []
+        for k in range(4):
+            h, l = _ds_add(ch[2 * k], cl[2 * k],
+                           ch[2 * k + 1], cl[2 * k + 1])
+            hi.append(h)
+            lo.append(l)
+        p //= 2
+    return tuple(x[:, 0].astype(dt) for x in hi)
+
+
+def _durbin_schur_blocked(rho: jnp.ndarray, nb: int, comp: bool = False):
     """Blocked Schur/Durbin recursion (VERDICT r3 #9): sequential depth
     T/nb outer steps instead of T.
 
@@ -257,7 +418,9 @@ def _durbin_schur_blocked(rho: jnp.ndarray, nb: int):
         acc = acc + jnp.sum((log_e[:, None] + cum) * valid_v, axis=-1)
         log_e = log_e + cum[:, -1]
 
-        th11, th12, th21, th22 = _theta_tree(al_blk)
+        th11, th12, th21, th22 = (
+            _theta_tree_comp(al_blk) if comp else _theta_tree(al_blk)
+        )
         left = jnp.stack([s, s, a, a]).reshape(4 * bsz, t)
         right = jnp.stack([t_, t_, b_, b_]).reshape(4 * bsz, t)
         kl_ = jnp.stack([th11, th21, th11, th21]).reshape(4 * bsz, nb + 1)
@@ -274,14 +437,16 @@ def _durbin_schur_blocked(rho: jnp.ndarray, nb: int):
     return acc, a[:, 1:], jnp.exp(log_e)
 
 
-def _durbin_flat(flat_rho: jnp.ndarray, block: int, min_t: int):
+def _durbin_flat(
+    flat_rho: jnp.ndarray, block: int, min_t: int, comp: bool = False
+):
     """Dispatch: blocked Schur for long sequences, classical scan below
     the crossover.  ``flat_rho [B, t1]`` -> (sum_log_e, y, e), each
     batched.  Both paths compute identical quantities (same recursion,
     different schedule)."""
     t1 = flat_rho.shape[-1]
     if block > 0 and t1 + 1 >= min_t:
-        return _durbin_schur_blocked(flat_rho, block)
+        return _durbin_schur_blocked(flat_rho, block, comp)
 
     def one(r):
         log_e, y, _rev, e = _durbin_scan(r)
@@ -290,14 +455,16 @@ def _durbin_flat(flat_rho: jnp.ndarray, block: int, min_t: int):
     return jax.vmap(one)(flat_rho)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "min_t"))
-def _durbin_logdet_impl(row, block: int, min_t: int):
+@functools.partial(jax.jit, static_argnames=("block", "min_t", "comp"))
+def _durbin_logdet_impl(row, block: int, min_t: int, comp: bool):
     row = jnp.asarray(row)
     batch = row.shape[:-1]
     t = row.shape[-1]
     flat = row.reshape((-1, t))
     r0 = flat[:, 0]
-    sum_log_e, _, _ = _durbin_flat(flat[:, 1:] / r0[:, None], block, min_t)
+    sum_log_e, _, _ = _durbin_flat(
+        flat[:, 1:] / r0[:, None], block, min_t, comp
+    )
     return (t * jnp.log(r0) + sum_log_e).reshape(batch)
 
 
@@ -308,8 +475,8 @@ def durbin_logdet(row: jnp.ndarray) -> jnp.ndarray:
     det T_n = prod_{k=0}^{n-1} E_k with E_0 = r_0 and the Durbin
     prediction-error recursion E_k = E_{k-1} (1 - alpha_k^2).
     """
-    block, min_t = _durbin_block_config()
-    return _durbin_logdet_impl(row, block=block, min_t=min_t)
+    block, min_t, comp = _durbin_block_config()
+    return _durbin_logdet_impl(row, block=block, min_t=min_t, comp=comp)
 
 
 def tri_toeplitz(col: jnp.ndarray) -> jnp.ndarray:
@@ -322,14 +489,16 @@ def tri_toeplitz(col: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(i >= j, col[..., idx], jnp.zeros((), col.dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("block", "min_t"))
-def _durbin_gs_factors_impl(row, block: int, min_t: int):
+@functools.partial(jax.jit, static_argnames=("block", "min_t", "comp"))
+def _durbin_gs_factors_impl(row, block: int, min_t: int, comp: bool):
     row = jnp.asarray(row)
     batch = row.shape[:-1]
     t = row.shape[-1]
     flat = row.reshape((-1, t))
     r0 = flat[:, 0]
-    sum_log_e, y, e = _durbin_flat(flat[:, 1:] / r0[:, None], block, min_t)
+    sum_log_e, y, e = _durbin_flat(
+        flat[:, 1:] / r0[:, None], block, min_t, comp
+    )
     logdet = t * jnp.log(r0) + sum_log_e
     ones = jnp.ones((flat.shape[0], 1), flat.dtype)
     zeros = jnp.zeros((flat.shape[0], 1), flat.dtype)
@@ -362,8 +531,8 @@ def durbin_gs_factors(
     Cholesky for uniform grids (BASELINE.json config 3; all reference MNIST
     grids are uniform, src/Models/Full_GP_VAE_fixed_for_MovMnist.py:280).
     """
-    block, min_t = _durbin_block_config()
-    return _durbin_gs_factors_impl(row, block=block, min_t=min_t)
+    block, min_t, comp = _durbin_block_config()
+    return _durbin_gs_factors_impl(row, block=block, min_t=min_t, comp=comp)
 
 
 def _fft_len(t: int) -> int:

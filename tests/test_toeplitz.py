@@ -85,10 +85,13 @@ def test_fft_tri_toeplitz_matvec_batched_leading():
 
 
 @pytest.mark.parametrize("nb", [8, 32])
-def test_blocked_durbin_matches_scan(nb, monkeypatch):
+@pytest.mark.parametrize("comp", ["0", "1"])
+def test_blocked_durbin_matches_scan(nb, comp, monkeypatch):
     """The blocked Schur/Durbin (VERDICT r3 #9) computes the same algebra
     as the classical scan — fp64 agreement to ~1e-12 on (logdet, a, b, e),
-    including a non-divisible T (remainder block masking)."""
+    including a non-divisible T (remainder block masking) — with both the
+    plain and the compensated (two-float) theta tree."""
+    monkeypatch.setenv("GPVAE_DURBIN_COMP", comp)
     for t in (45, 257):
         row = jnp.asarray(make_row(t, 3.0))
         # env vars are re-read per call and thread through jit as static
@@ -100,6 +103,45 @@ def test_blocked_durbin_matches_scan(nb, monkeypatch):
         got = [np.asarray(v) for v in toeplitz.durbin_gs_factors(row[None])]
         for g, w in zip(got, want):
             np.testing.assert_allclose(g, w, rtol=1e-9, atol=1e-10)
+
+
+def test_ds_poly_mul_vs_fp64():
+    """The two-float polynomial product (the compensated theta tree's
+    primitive) matches the fp64 convolution from fp32 inputs to ~2^-40 —
+    far past plain fp32's ~1e-7."""
+    rng = np.random.default_rng(7)
+    a64 = rng.standard_normal((3, 17))
+    b64 = rng.standard_normal((3, 9))
+    a32 = a64.astype(np.float32).astype(np.float64)  # exact fp32 values
+    b32 = b64.astype(np.float32).astype(np.float64)
+    want = np.stack([np.convolve(a32[i], b32[i]) for i in range(3)])
+    ah = jnp.asarray(a32, jnp.float32)
+    bh = jnp.asarray(b32, jnp.float32)
+    zh = jnp.zeros_like(ah)
+    zb = jnp.zeros_like(bh)
+    hi, lo = toeplitz._ds_poly_mul(ah, zh, bh, zb)
+    got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 1e-12 * scale
+
+
+def test_durbin_comp_near_singular_t4096():
+    """VERDICT r4 weak #5 / next #7: the compensated theta tree holds the
+    fp32 blocked logdet to <=1e-4 of the fp64 dense oracle at the t4096
+    preset conditioning (grid 60/T, ls=9 ~ 614 grid steps, noise 1e-3) —
+    the regime where plain fp32 measures ~3.3e-4.  Error attribution and
+    the measured bands: benchmarks/prof_durbin_comp.py, BASELINE.md r5."""
+    t = 4096
+    noise = 1e-3
+    row64 = np.asarray(
+        kernels.toeplitz_row(t, 60.0 / t, jnp.array([9.0]), noise=noise,
+                             dtype=jnp.float64)
+    )[0]
+    row = jnp.asarray(row64, jnp.float32)
+    logdet = float(toeplitz.durbin_logdet(row[None])[0])  # comp default ON
+    dense = np.asarray(kernels.toeplitz_to_dense(jnp.asarray(row64)))
+    want = np.linalg.slogdet(dense)[1]
+    assert abs(logdet - want) / abs(want) < 1e-4, (logdet, want)
 
 
 def test_blocked_durbin_gradient_matches_scan(monkeypatch):
