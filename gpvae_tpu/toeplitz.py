@@ -46,11 +46,14 @@ def _durbin_block_config() -> tuple[int, int, bool]:
 
     ``GPVAE_DURBIN_COMP`` (default on) routes the per-block Szego
     transfer-matrix product through the two-float compensated tree
-    (:func:`_theta_tree_comp`) — per-stage fp64 attribution measured the
-    theta products as carrying essentially ALL of the blocked path's
-    fp32 logdet error at T=4096 near-singular conditioning (3.3e-4
-    all-fp32 vs 7.4e-6 with accurate theta; window recursion and tail
-    convs each contribute <1e-5 — benchmarks/prof_durbin_comp.py).
+    (:func:`_theta_tree_comp`) AND the tail advance through the
+    compensated VPU convolution (:func:`_gconv_causal_comp2`).  Both
+    legs are needed on TPU: per-stage fp64 attribution pinned the theta
+    products as the dominant *algebraic* error (3.3e-4 all-fp32 vs
+    7.4e-6 with accurate theta on CPU — benchmarks/prof_durbin_comp.py),
+    but on the TPU the MXU tail-conv rounding re-raises the fixed-theta
+    error to 8.45e-4; the compensated conv removes that floor too
+    (benchmarks/prof_durbin_comp_tpu.py, BASELINE.md r5).
 
     Read from the environment on EVERY call and threaded into the jitted
     entry points as static arguments, so the jit cache keys on the values
@@ -188,15 +191,16 @@ def _theta_tree(alphas: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
 
 
 def _rp(x):
-    """Optimization barrier for error-free transformations: round ``x``
-    to its own storage format via ``lax.reduce_precision`` — numerically
-    the identity for an fp32/fp64 value, but opaque to XLA's algebraic
-    simplifier.  Without it, whole-module compilation (an outer ``jit``)
-    rewrites TwoSum's ``(a + b) - a`` style residuals to their exact-
-    arithmetic values (zero), silently collapsing the compensated path
-    back to plain fp32 — measured: jitted ``durbin_gs_factors`` read
-    8.45e-4 at the T=4096 near-singular regime while the eagerly-run
-    scan read 6.7e-6, on BOTH CPU and TPU, before these barriers."""
+    """Defensive barrier for error-free transformations: round ``x`` to
+    its own storage format via ``lax.reduce_precision`` — numerically the
+    identity for an fp32/fp64 value, and a fence against any compiler
+    rewrite of TwoSum's ``(a + b) - a`` style residuals.  Measured on
+    this image the residuals survive jit on both backends even without
+    the fence (an earlier 8.45e-4-vs-6.7e-6 jit/eager discrepancy that
+    motivated it was actually the TPU tail-conv rounding — the "CPU" arm
+    of that A/B had been silently redirected to the TPU by the image's
+    sitecustomize, see :func:`_gconv_causal_comp2`); kept because it is
+    ~free and pins the required semantics against future XLA passes."""
     if x.dtype == jnp.float64:
         return jax.lax.reduce_precision(x, 11, 52)
     return jax.lax.reduce_precision(x, 8, 23)
@@ -245,6 +249,48 @@ def _ds_mul(ah, al, bh, bl):
     e = _rp(e + _rp(ah * bl + al * bh))
     hi = _rp(p + e)
     return hi, _rp(e - _rp(hi - p))
+
+
+def _gconv_causal_comp2(xa, ka, xb, kb):
+    """Compensated ``xa (*) ka + xb (*) kb`` (causal per-channel conv,
+    ``x [C, T]``, ``k [C, W]`` -> ``[C, T]``): per-tap TwoProd products
+    accumulated by Neumaier summation on the VPU — true fp32-exact
+    products with ~2^-48 accumulation, immune to both MXU pass
+    truncation and fp32 partial-sum rounding, and covering cancellation
+    BETWEEN the two convolutions (s' = Th11*s + Th12*t can cancel).
+
+    Why it exists: on TPU the MXU grouped conv at HIGHEST precision
+    rounds ~3x worse than XLA:CPU's fp32 conv (measured 1.5e-5 vs
+    5.1e-6 abs on a 129-tap O(1) conv vs fp64) — and the blocked
+    Durbin amplifies tail-conv noise through log1p(1 - alpha^2) by
+    1/(1 - alpha^2) in near-singular regimes, where fixing the theta
+    tree alone left the fp32 logdet at 8.45e-4 on TPU while genuinely-
+    CPU runs of the identical program read 6.7e-6.  VPU cost: ~25
+    elementwise ops per tap; at T=4096/nb=128 this prices the accuracy
+    mode at roughly the MXU conv's cost again (measured in
+    benchmarks/prof_durbin_comp_tpu.py, table in BASELINE.md r5)."""
+    t = xa.shape[-1]
+    w = ka.shape[-1]
+    pad = ((0, 0), (w - 1, 0))
+    xap = jnp.pad(xa, pad)
+    xbp = jnp.pad(xb, pad)
+    s = jnp.zeros_like(xa)
+    c = jnp.zeros_like(xa)
+
+    def acc(s, c, p, e):
+        tt = _rp(s + p)
+        big = jnp.abs(s) >= jnp.abs(p)
+        r = jnp.where(big, _rp(_rp(s - tt) + p), _rp(_rp(p - tt) + s))
+        return tt, _rp(c + _rp(r + e))
+
+    for d in range(w):
+        sl = jax.lax.slice_in_dim(xap, w - 1 - d, w - 1 - d + t, axis=1)
+        p, e = _two_prod(ka[:, d : d + 1], sl)
+        s, c = acc(s, c, p, e)
+        sl = jax.lax.slice_in_dim(xbp, w - 1 - d, w - 1 - d + t, axis=1)
+        p, e = _two_prod(kb[:, d : d + 1], sl)
+        s, c = acc(s, c, p, e)
+    return _rp(s + c)
 
 
 def _skew(p):
@@ -425,8 +471,13 @@ def _durbin_schur_blocked(rho: jnp.ndarray, nb: int, comp: bool = False):
         right = jnp.stack([t_, t_, b_, b_]).reshape(4 * bsz, t)
         kl_ = jnp.stack([th11, th21, th11, th21]).reshape(4 * bsz, nb + 1)
         kr_ = jnp.stack([th12, th22, th12, th22]).reshape(4 * bsz, nb + 1)
-        out = (_gconv_causal(left, kl_) + _gconv_causal(right, kr_)
-               ).reshape(4, bsz, t)
+        if comp:
+            out = _gconv_causal_comp2(left, kl_, right, kr_).reshape(
+                4, bsz, t
+            )
+        else:
+            out = (_gconv_causal(left, kl_) + _gconv_causal(right, kr_)
+                   ).reshape(4, bsz, t)
         return (out[0], out[1], out[2], out[3], log_e, acc), None
 
     z0 = jnp.zeros((bsz,), dt)
